@@ -1,0 +1,132 @@
+"""Headline benchmark: audio-seconds rendered+trained per second per chip.
+
+Pipeline measured: the reference's hottest path — flanger-modulated
+training data rendered ON DEVICE + Spectral2DCNN (paper config) forward/
+backward + AdamW update, all in one jitted step (the reference renders
+flanger batches with a per-sample Python loop on host CPU,
+`mod_extraction/fx.py:104-115` via `data_modules.py:419-458`, and trains
+those configs on CPU, `configs/train_lfo_flanger.yml:21`).
+
+Baseline: the reference-equivalent per-sample torch loop measured here on
+CPU (render-dominated pipeline), extrapolated to audio-seconds/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_ours(batch_size: int = 32, n_steps: int = 8) -> float:
+    import jax
+    import optax
+
+    from mod_extraction_tpu.data.synthetic import make_synthetic_batch
+    from mod_extraction_tpu.models import Spectral2DCNN
+    from mod_extraction_tpu.train.lfo_task import LFOExtractionTask
+    from mod_extraction_tpu.train.render import RenderConfig
+
+    sr, n_samples = 44100.0, 88200
+    render_cfg = RenderConfig(
+        sr=sr,
+        n_samples=n_samples,
+        effects=(2,),  # flanger/chorus
+        max_delay_samples=485,  # 11 ms @ 44.1 kHz
+    )
+    model = Spectral2DCNN(
+        in_ch=2,
+        n_samples=n_samples,
+        sr=sr,
+        n_fft=1024,
+        hop_len=256,
+        n_mels=256,
+        kernel_size=(5, 13),
+        out_channels=(64,) * 6,
+        temp_dilations=(1, 1, 2, 4, 8, 16),
+        pool_size=(2, 1),
+        freq_mask_amount=0.25,
+        time_mask_amount=0.25,
+    )
+    task = LFOExtractionTask(
+        model=model,
+        render_cfg=render_cfg,
+        optimizer=optax.adamw(1e-4, b1=0.8, b2=0.99),
+        loss_dict={"l1": 1.0, "fdl1": 5.0, "sdl1": 10.0, "mse": 0.0},
+    )
+    key = jax.random.PRNGKey(0)
+    state = task.init_state(key)
+    batch = make_synthetic_batch(0, batch_size, n_samples, sr, "flanger")
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+
+    # warmup/compile
+    state, m = task.train_step(state, batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = task.train_step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    audio_sec = batch_size * (n_samples / sr) * n_steps
+    return audio_sec / dt
+
+
+def bench_reference_torch_cpu() -> float:
+    """Reference-style per-sample flanger loop (torch, host CPU), measured
+    on a small slice and extrapolated: the reference pipeline is render-
+    bound, so audio-sec/sec ~= 1 / (render seconds per audio second)."""
+    import torch as tr
+
+    b, c, t = 4, 1, 11025  # 0.25 s slices
+    sr = 44100.0
+    d = 485
+    x = tr.rand(b, c, t) * 0.5
+    mod = tr.rand(b, c, t)
+    feedback = tr.full((b, 1), 0.3)
+    depth = tr.full((b, 1), 0.8)
+    buf = tr.zeros(b, c, d)
+    out = tr.zeros(b, c, t)
+    delay = mod * 440.0 + 20.0
+    write_idx_all = tr.arange(t) % d
+    read_idx_all = (write_idx_all.view(1, 1, -1) - delay + d) % d
+    frac_all = read_idx_all - tr.floor(read_idx_all)
+    prev_all = tr.floor(read_idx_all).long()
+    next_all = (prev_all + 1) % d
+
+    t0 = time.perf_counter()
+    with tr.no_grad():
+        for i in range(t):
+            prev_v = tr.gather(buf, -1, prev_all[:, :, i].unsqueeze(-1)).squeeze(-1)
+            next_v = tr.gather(buf, -1, next_all[:, :, i].unsqueeze(-1)).squeeze(-1)
+            interp = frac_all[:, :, i] * next_v + (1 - frac_all[:, :, i]) * prev_v
+            buf[:, :, write_idx_all[i]] = x[:, :, i] + feedback * interp
+            out[:, :, i] = x[:, :, i] + depth * interp
+    dt = time.perf_counter() - t0
+    audio_sec = b * t / sr
+    return audio_sec / dt
+
+
+def main():
+    ours = bench_ours()
+    try:
+        ref = bench_reference_torch_cpu()
+    except Exception:
+        ref = float("nan")
+    vs = ours / ref if ref == ref and ref > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "lfo_train_throughput",
+                "value": round(ours, 2),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

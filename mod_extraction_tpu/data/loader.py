@@ -1,0 +1,99 @@
+"""Batch collation + threaded prefetch.
+
+Replaces torch DataLoader worker processes (`data_modules.py:67-83`).
+Dataset work here is I/O-bound (wav chunk reads) — the DSP all moved on
+device — so a small thread pool with a prefetch queue is enough; batches
+are fixed-shape numpy dicts ready for `jax.device_put` with a batch
+sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List
+
+import numpy as np
+
+from mod_extraction_tpu.data.datasets import FX_FLOAT_KEYS, FX_INT_KEYS
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack example dicts into a fixed-shape batch dict."""
+    batch = {
+        "dry": np.stack([it["dry"] for it in items]).astype(np.float32),
+        "wet": np.stack([it["wet"] for it in items]).astype(np.float32),
+        "mod_sig": np.stack([it["mod_sig"] for it in items]).astype(np.float32),
+    }
+    fx: Dict[str, np.ndarray] = {}
+    for k in FX_FLOAT_KEYS:
+        fx[k] = np.asarray([it["fx"].get(k, 0.0) for it in items], np.float32)
+    for k in FX_INT_KEYS:
+        fx[k] = np.asarray([it["fx"].get(k, 0) for it in items], np.int32)
+    batch["fx"] = fx
+    return batch
+
+
+class Loader:
+    """Epoch iterator over a dataset with drop_last batching.
+
+    `shuffle` permutes example indices within the epoch (draw-style
+    datasets are index-seeded, so this reorders reproducibly)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def n_batches(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, Any]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch_idx, 7])
+            ).shuffle(order)
+        n_batches = self.n_batches()
+
+        def make_batch(b: int) -> Dict[str, Any]:
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            items = [self.dataset.getitem(epoch_idx, int(i)) for i in idxs]
+            return collate(items)
+
+        if self.num_workers <= 1 or n_batches <= 1:
+            for b in range(n_batches):
+                yield make_batch(b)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(make_batch, b) for b in range(n_batches)]
+                for fut in futures:
+                    if stop.is_set():
+                        return
+                    q.put(fut.result())
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            for _ in range(n_batches):
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,117 @@
+"""Spectral2DCNN — the paper's LFO extractor.
+
+TPU-native re-design of the reference model (`mod_extraction/models.py:128-215`):
+Mel spectrogram -> (train-time) SpecAugment -> log -> stack of
+[LayerNorm(bins, frames, no affine) -> dilated Conv2d 'same' -> MaxPool ->
+per-channel PReLU] -> mean over the frequency axis -> 1x1 Conv -> sigmoid.
+Returns (mod_sig_hat, latent), like the reference (`models.py:197-215`).
+
+TPU mapping notes:
+* channels-last layout internally (B, mels, frames, C); convs are
+  `flax.linen.Conv` with kernel dilation, lowered onto the MXU.
+* the mel frontend is a framing gather + rfft + one (freqs, mels) matmul
+  (see ops/stft.py) fused into the same jitted step.
+* SpecAugment is functional: the caller passes a PRNG key; no global RNG.
+* `half_frames=True` additionally pools time by 2x in the first layers —
+  OFF by default (parity), available for throughput experiments.
+
+Paper config (`configs/models/spectral_2dcnn.yml`): in_ch=2 (dry+wet),
+6x64 channels, temp_dilations [1,1,2,4,8,16], pool (2,1), masks 0.25.
+Output frame rate: n_samples//hop + 1 = 345 frames per 2 s clip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mod_extraction_tpu.models.common import (
+    PReLU,
+    layer_norm_no_affine,
+    max_pool_floor,
+    same_pads,
+)
+from mod_extraction_tpu.ops.stft import mel_spectrogram, spec_augment
+
+
+class Spectral2DCNN(nn.Module):
+    in_ch: int = 1
+    n_samples: int = 88200
+    sr: float = 44100
+    n_fft: int = 1024
+    hop_len: int = 256
+    n_mels: int = 256
+    kernel_size: Tuple[int, int] = (5, 13)
+    out_channels: Optional[Sequence[int]] = None
+    bin_dilations: Optional[Sequence[int]] = None
+    temp_dilations: Optional[Sequence[int]] = None
+    pool_size: Tuple[int, int] = (3, 1)
+    latent_dim: int = 1
+    freq_mask_amount: float = 0.0
+    time_mask_amount: float = 0.0
+    use_ln: bool = True
+    eps: float = 1e-7
+
+    def _channels(self):
+        return list(self.out_channels) if self.out_channels else [64] * 5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        mask_key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, in_ch, n_samples) audio. Returns ((B, latent_dim, F), (B, C, F))."""
+        assert x.ndim == 3
+        chans = self._channels()
+        bin_dil = list(self.bin_dilations) if self.bin_dilations else [1] * len(chans)
+        temp_dil = (
+            list(self.temp_dilations)
+            if self.temp_dilations
+            else [2**i for i in range(len(chans))]
+        )
+        assert len(chans) == len(bin_dil) == len(temp_dil)
+        assert self.pool_size[1] == 1
+
+        spec = mel_spectrogram(
+            x, int(self.sr), self.n_fft, self.hop_len, self.n_mels
+        )  # (B, in_ch, mels, frames)
+        n_frames = spec.shape[-1]
+
+        if train and mask_key is not None and (
+            self.freq_mask_amount > 0 or self.time_mask_amount > 0
+        ):
+            spec = spec_augment(
+                mask_key,
+                spec,
+                int(self.freq_mask_amount * self.n_mels),
+                int(self.time_mask_amount * n_frames),
+            )
+
+        h = jnp.log(jnp.maximum(spec, self.eps))
+        h = jnp.transpose(h, (0, 2, 3, 1))  # (B, mels, frames, C) channel-last
+
+        for out_ch, b_dil, t_dil in zip(chans, bin_dil, temp_dil):
+            if self.use_ln:
+                h = layer_norm_no_affine(h, axes=(1, 2))
+            pad_b = same_pads(self.kernel_size[0], b_dil)
+            pad_t = same_pads(self.kernel_size[1], t_dil)
+            h = nn.Conv(
+                out_ch,
+                kernel_size=self.kernel_size,
+                kernel_dilation=(b_dil, t_dil),
+                padding=(pad_b, pad_t),
+            )(h)
+            h = max_pool_floor(h, self.pool_size)
+            h = PReLU(out_ch)(h)
+
+        h = jnp.mean(h, axis=1)  # mean over freq bins -> (B, frames, C)
+        latent = jnp.transpose(h, (0, 2, 1))  # (B, C, frames)
+
+        out = nn.Dense(self.latent_dim)(h)  # 1x1 conv over frames
+        out = jax.nn.sigmoid(out)
+        return jnp.transpose(out, (0, 2, 1)), latent

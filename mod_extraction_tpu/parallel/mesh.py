@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers — the framework's parallelism layer.
+
+Replaces the reference's DDP/NCCL setup (`cli.py:48`,
+`CUDA_VISIBLE_DEVICES` plumbing `cli.py:117-126`) with JAX SPMD:
+
+* a 1-D `data` mesh (the reference is pure data-parallel; its models are
+  <1M params so TP/PP are unnecessary — SURVEY.md §2.4),
+* batches sharded on axis 0, params replicated,
+* gradient reduction happens inside the jitted step as XLA-inserted
+  all-reduces over ICI (no explicit NCCL-style calls anywhere).
+
+On-device data rendering (train/render.py) is sharded WITH the batch, so
+synthesis throughput scales linearly with chip count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """device_put a pytree of host arrays with batch-axis sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

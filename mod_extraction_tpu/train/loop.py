@@ -1,0 +1,158 @@
+"""Training/validation driver loop.
+
+Replaces the Lightning Trainer usage of the reference (`cli.py`,
+`lightning.py`): epoch loop over the host loader, sharded device feed,
+jitted SPMD steps, epoch-mean metric aggregation (Lightning's
+`on_epoch=True` semantics, `lightning.py:33-62` — cross-device reduction
+falls out of the sharded mean inside the step), best/last checkpointing,
+JSONL + console metric logging, per-step timing in audio-seconds/sec
+(the BASELINE.json north-star), and media logging on val batch 0.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from mod_extraction_tpu.parallel.mesh import make_mesh, shard_batch
+from mod_extraction_tpu.paths import ensure_dir
+from mod_extraction_tpu.train.checkpoints import CheckpointManager
+
+log = logging.getLogger(__name__)
+
+
+def _mean_metrics(acc: list[Dict[str, float]]) -> Dict[str, float]:
+    if not acc:
+        return {}
+    keys = acc[0].keys()
+    return {k: float(np.mean([m[k] for m in acc])) for k in keys}
+
+
+class MetricLogger:
+    """Console + JSONL metric sink (reference: TensorBoard/wandb loggers,
+    `cli.py:39-45,152-160`)."""
+
+    def __init__(self, out_dir: str, run_name: str) -> None:
+        self.path = os.path.join(ensure_dir(out_dir), f"{run_name}_metrics.jsonl")
+
+    def log(self, payload: Dict[str, Any]) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(payload) + "\n")
+        parts = "  ".join(
+            f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in payload.items()
+        )
+        log.info(parts)
+        print(parts, flush=True)
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        data_module,
+        max_epochs: int = 400,
+        out_dir: str = "out",
+        run_name: str = "run",
+        seed: int = 42,
+        mesh: Optional[Any] = None,
+        media_callback: Optional[Callable] = None,
+        log_every_n_steps: int = 50,
+        resume: bool = False,
+    ) -> None:
+        self.task = task
+        self.dm = data_module
+        self.max_epochs = max_epochs
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.run_name = run_name
+        self.out_dir = ensure_dir(out_dir)
+        self.metrics = MetricLogger(out_dir, run_name)
+        self.ckpts = CheckpointManager(os.path.join(out_dir, run_name + "_ckpts"))
+        self.media_callback = media_callback
+        self.log_every_n_steps = log_every_n_steps
+        self.resume = resume
+
+    def fit(self) -> Any:
+        self.dm.setup("fit")
+        key = jax.random.PRNGKey(self.seed)
+        state = self.task.init_state(key)
+        start_epoch = 0
+        if self.resume:
+            restored = self.ckpts.restore("last", state)
+            if restored is not None:
+                state = restored
+                meta_path = os.path.join(self.ckpts.ckpt_dir, "last.json")
+                if os.path.isfile(meta_path):
+                    with open(meta_path) as f:
+                        start_epoch = json.load(f).get("epoch", -1) + 1
+                log.info("Resumed from epoch %d", start_epoch)
+
+        train_loader = self.dm.train_loader()
+        val_loader = self.dm.val_loader()
+        sr = self.dm.render_cfg.sr
+        n_samples = self.dm.render_cfg.n_samples
+        audio_sec_per_batch = self.dm.batch_size * n_samples / sr
+
+        global_step = int(np.asarray(state.step))
+        for epoch in range(start_epoch, self.max_epochs):
+            train_acc = []
+            t_epoch = time.time()
+            t_step = time.time()
+            for batch in train_loader.epoch(epoch):
+                batch = shard_batch(batch, self.mesh)
+                step_key = jax.random.fold_in(key, global_step)
+                state, metrics = self.task.train_step(state, batch, step_key)
+                train_acc.append({k: float(v) for k, v in metrics.items()})
+                global_step += 1
+                if global_step % self.log_every_n_steps == 0:
+                    dt = time.time() - t_step
+                    self.metrics.log(
+                        {
+                            "phase": "train_step",
+                            "step": global_step,
+                            "audio_sec_per_sec": self.log_every_n_steps
+                            * audio_sec_per_batch
+                            / dt,
+                            **train_acc[-1],
+                        }
+                    )
+                    t_step = time.time()
+
+            val_metrics = self.validate(state, val_loader, epoch)
+            epoch_time = time.time() - t_epoch
+            payload = {
+                "phase": "epoch",
+                "epoch": epoch,
+                "step": global_step,
+                "epoch_time_s": epoch_time,
+            }
+            payload.update({f"train/{k}": v for k, v in _mean_metrics(train_acc).items()})
+            payload.update({f"val/{k}": v for k, v in val_metrics.items()})
+            self.metrics.log(payload)
+
+            self.ckpts.save_last(state, epoch, global_step)
+            if "loss" in val_metrics:
+                self.ckpts.maybe_save_best(state, val_metrics["loss"], epoch, global_step)
+        return state
+
+    def validate(self, state, val_loader=None, epoch: int = 0) -> Dict[str, float]:
+        if val_loader is None:
+            self.dm.setup("validate")
+            val_loader = self.dm.val_loader()
+        key = jax.random.PRNGKey(self.seed + 1)
+        acc = []
+        params = state.params if hasattr(state, "params") else state
+        for i, batch in enumerate(val_loader.epoch(epoch)):
+            batch = shard_batch(batch, self.mesh)
+            metrics = self.task.val_step(params, batch, jax.random.fold_in(key, i))
+            acc.append({k: float(v) for k, v in metrics.items()})
+            if i == 0 and self.media_callback is not None:
+                self.media_callback(self, params, batch, epoch)
+        return _mean_metrics(acc)

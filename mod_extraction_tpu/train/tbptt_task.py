@@ -1,0 +1,217 @@
+"""TBPTT effect-model training (conditional LSTM on a frozen extractor).
+
+TPU-native re-design of `TBPTTLFOEffectModeling`
+(`mod_extraction/lightning.py:202-431`).  The reference runs a manual-
+optimization Python loop: per 1024-sample chunk it does forward, loss,
+backward, optimizer step, hidden detach (85 updates per 2 s batch,
+`lightning.py:356-384`).  Here the ENTIRE loop is a `lax.scan` whose
+carry is (params, opt_state, hidden) — one jitted SPMD program per batch,
+with XLA inserting one gradient all-reduce per chunk over ICI.
+
+Semantic parity notes:
+* extractor output is smoothed (unfold-mean 8), corner-stretched, and the
+  audio is centre-cropped proportionally (`lightning.py:284-323`);
+* invalid LFOs: the reference DROPS examples (dynamic shapes,
+  `lightning.py:325-335`); we zero-WEIGHT them in every loss instead
+  (masked means) — identical gradients per surviving example up to the
+  batch-mean normalization (documented deviation);
+* warmup chunk runs before the update loop and is excluded from outputs
+  (`lightning.py:340-353, 389-393`);
+* hidden detach == the scan carry holding `stop_gradient`-ed state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mod_extraction_tpu.losses import WeightedLossDict
+from mod_extraction_tpu.models.lstm import LSTMEffectModel, lstm_init_state
+from mod_extraction_tpu.models.random_lfo import RandomLFO
+from mod_extraction_tpu.ops.corners import (
+    find_valid_mod_sig_mask,
+    smoothen,
+    stretch_corners,
+)
+from mod_extraction_tpu.train.lfo_task import center_crop_last
+from mod_extraction_tpu.train.render import RenderConfig, render_batch
+from mod_extraction_tpu.utils.interp import linear_interpolate_last_dim
+
+
+class TBPTTState(struct.PyTreeNode):
+    params: Any  # effect model params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclass(eq=False)  # identity hash: task instances are static jit args
+class TBPTTEffectModelingTask:
+    effect_model: LSTMEffectModel
+    render_cfg: RenderConfig
+    warmup_n_samples: int = 1024
+    step_n_samples: int = 1024
+    lfo_model: Any = None  # flax extractor, RandomLFO, or None (GT mod sig)
+    lfo_params: Any = None  # frozen extractor params
+    optimizer: Optional[optax.GradientTransformation] = None
+    use_dry: bool = True
+    model_smooth_n_frames: int = 8
+    should_stretch: bool = True
+    max_n_corners: int = 16
+    stretch_smooth_n_frames: int = 0
+    discard_invalid_lfos: bool = True
+    loss_dict: Optional[Dict[str, float]] = None
+
+    def __post_init__(self):
+        if self.loss_dict is None:
+            self.loss_dict = {"l1": 1.0, "esr": 0.0, "dc": 0.0}
+        self.losses = WeightedLossDict(self.loss_dict)
+        if self.optimizer is None:
+            self.optimizer = optax.adamw(1e-4, b1=0.8, b2=0.99)
+        self.use_gt_mod_sig = self.lfo_model is None
+        self.is_random_lfo = isinstance(self.lfo_model, RandomLFO)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, key: jax.Array) -> TBPTTState:
+        b, t = 2, self.warmup_n_samples
+        em = self.effect_model
+        params = em.init(
+            key,
+            jnp.zeros((b, em.in_ch, t)),
+            jnp.zeros((b, em.latent_dim, t)),
+            lstm_init_state(b, em.n_hidden),
+        )
+        return TBPTTState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ----------------------------------------------------------- mod sig
+    def _extract_mod_sig(self, dry, wet, mod_frames, fx, key):
+        """Frozen extractor forward (no grad) — `lightning.py:254-272`."""
+        if self.use_gt_mod_sig:
+            return mod_frames, mod_frames
+        if self.is_random_lfo:
+            mod_hat = self.lfo_model(key, wet.shape[0], fx)[:, 0, :]
+            mod = linear_interpolate_last_dim(mod_frames, mod_hat.shape[-1])
+            return mod_hat, mod
+        model_in = jnp.concatenate([dry, wet], axis=1) if self.use_dry else wet
+        mod_hat, _ = self.lfo_model.apply(self.lfo_params, model_in)
+        mod_hat = jax.lax.stop_gradient(mod_hat[:, 0, :])
+        mod = linear_interpolate_last_dim(mod_frames, mod_hat.shape[-1])
+        return mod_hat, mod
+
+    def _smooth_stretch(self, mod_hat, mod):
+        """`smooth_stretch_crop_mod_sig` (`lightning.py:284-300`)."""
+        orig = mod_hat.shape[-1]
+        if self.model_smooth_n_frames > 1:
+            mod_hat = smoothen(mod_hat, self.model_smooth_n_frames)
+            mod = center_crop_last(mod, mod_hat.shape[-1])
+        if self.should_stretch:
+            mod_hat = stretch_corners(
+                mod_hat,
+                max_n_corners=self.max_n_corners,
+                smooth_n_frames=self.stretch_smooth_n_frames,
+            )
+            if self.stretch_smooth_n_frames > 1:
+                mod = center_crop_last(mod, mod_hat.shape[-1])
+        return mod_hat, mod, orig - mod_hat.shape[-1]
+
+    def _prepare(self, batch, key):
+        """render -> extract -> smooth/stretch -> crop -> validity -> upsample."""
+        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg)
+        t = dry.shape[-1]
+        assert t >= self.warmup_n_samples + self.step_n_samples
+
+        mod_hat, mod = self._extract_mod_sig(dry, wet, mod_frames, fx, key)
+        mod_hat, mod, removed = self._smooth_stretch(mod_hat, mod)
+        n_frames = mod_hat.shape[-1]
+        n_samples = int((n_frames / (n_frames + removed)) * t)
+        dry = center_crop_last(dry, n_samples)
+        wet = center_crop_last(wet, n_samples)
+
+        if self.discard_invalid_lfos:
+            weights = find_valid_mod_sig_mask(mod_hat).astype(jnp.float32)
+        else:
+            weights = jnp.ones((dry.shape[0],), jnp.float32)
+
+        mod_sr = linear_interpolate_last_dim(mod_hat, n_samples)[:, None, :]
+        return dry, wet, mod_sr, mod_hat, mod, weights
+
+    # --------------------------------------------------------------- steps
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_step(self, state: TBPTTState, batch, key) -> Tuple[TBPTTState, Dict]:
+        em = self.effect_model
+        dry, wet, mod_sr, mod_hat, mod, weights = self._prepare(batch, key)
+        b = dry.shape[0]
+        w, s = self.warmup_n_samples, self.step_n_samples
+        t = dry.shape[-1]
+        n_chunks = (t - w) // s
+
+        # warmup pass (`lightning.py:340-353`)
+        h0 = lstm_init_state(b, em.n_hidden)
+        y_warm, hidden = em.apply(
+            state.params, dry[:, :, :w], mod_sr[:, :, :w], h0
+        )
+        hidden = jax.tree.map(jax.lax.stop_gradient, hidden)
+
+        def chunk_step(carry, start):
+            params, opt_state, hid = carry
+            d_c = jax.lax.dynamic_slice(dry, (0, 0, start), (b, dry.shape[1], s))
+            w_c = jax.lax.dynamic_slice(wet, (0, 0, start), (b, wet.shape[1], s))
+            m_c = jax.lax.dynamic_slice(
+                mod_sr, (0, 0, start), (b, mod_sr.shape[1], s)
+            )
+
+            def loss_fn(p):
+                y, new_hid = em.apply(p, d_c, m_c, hid)
+                loss, _ = self.losses(y, w_c, weights)
+                return loss, (y, new_hid)
+
+            (loss, (y, new_hid)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_hid = jax.tree.map(jax.lax.stop_gradient, new_hid)
+            return (params, opt_state, new_hid), y
+
+        starts = w + jnp.arange(n_chunks) * s
+        (params, opt_state, _), ys = jax.lax.scan(
+            chunk_step, (state.params, state.opt_state, hidden), starts
+        )
+        # ys: (n_chunks, B, C, S) -> (B, C, n_chunks * S), warmup excluded
+        wet_hat = jnp.transpose(ys, (1, 2, 0, 3)).reshape(b, ys.shape[2], -1)
+        wet_cmp = wet[:, :, w : w + n_chunks * s]
+        _, metrics = self.losses(wet_hat, wet_cmp, weights)
+        metrics["valid_fraction"] = jnp.mean(weights)
+
+        new_state = TBPTTState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    @partial(jax.jit, static_argnums=(0,))
+    def val_step(self, params, batch, key) -> Dict:
+        """Full-sequence forward (numerically identical to the reference's
+        no-update chunk loop), warmup excluded from the metric."""
+        em = self.effect_model
+        dry, wet, mod_sr, mod_hat, mod, weights = self._prepare(batch, key)
+        b = dry.shape[0]
+        w, s = self.warmup_n_samples, self.step_n_samples
+        t = dry.shape[-1]
+        n_chunks = (t - w) // s
+        end = w + n_chunks * s
+        h0 = lstm_init_state(b, em.n_hidden)
+        wet_hat, _ = em.apply(params, dry[:, :, :end], mod_sr[:, :, :end], h0)
+        _, metrics = self.losses(
+            wet_hat[:, :, w:], wet[:, :, w:end], weights
+        )
+        metrics["valid_fraction"] = jnp.mean(weights)
+        return metrics

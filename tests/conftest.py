@@ -1,0 +1,23 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+All tests run on CPU (deterministic, no TPU needed) with 8 virtual
+devices so sharding/pjit paths are exercised the way the driver's
+`dryrun_multichip` does.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: never run tests over the TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

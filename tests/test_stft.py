@@ -1,0 +1,74 @@
+"""Mel/STFT frontend tests against independent numpy oracles."""
+
+import numpy as np
+import pytest
+
+from mod_extraction_tpu.ops.stft import (
+    hann_window,
+    mel_filterbank,
+    mel_spectrogram,
+    spec_augment,
+    spectrogram,
+)
+
+
+def _np_power_spec(x, n_fft, hop):
+    pad = n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = (len(xp) - n_fft) // hop + 1
+    win = hann_window(n_fft).astype(np.float64)
+    frames = np.stack([xp[i * hop : i * hop + n_fft] for i in range(n_frames)])
+    spec = np.fft.rfft(frames * win, axis=-1)
+    return (np.abs(spec) ** 2).T  # (n_freqs, n_frames)
+
+
+def test_spectrogram_matches_numpy(rng):
+    x = rng.standard_normal(4096).astype(np.float32)
+    ours = np.asarray(spectrogram(x[None], n_fft=512, hop=128))[0]
+    ref = _np_power_spec(x.astype(np.float64), 512, 128)
+    assert ours.shape == ref.shape == (257, 4096 // 128 + 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_frame_count_88200():
+    x = np.zeros((1, 88200), np.float32)
+    s = spectrogram(x, n_fft=1024, hop=256)
+    assert s.shape == (1, 513, 345 + 1 - 1)  # 88200//256 + 1 = 345... check
+    assert s.shape[-1] == 88200 // 256 + 1
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(44100, 1024, 256)
+    assert fb.shape == (513, 256)
+    assert fb.min() >= 0.0
+    # every filter has nonzero support except possibly the lowest few
+    assert (fb.sum(axis=0) > 0).sum() >= 250
+    # triangle peaks are at most 1 (no normalization)
+    assert fb.max() <= 1.0 + 1e-6
+    # HTK scale: mel(1000 Hz) ~ 999.99
+    from mod_extraction_tpu.ops.stft import hz_to_mel_htk, mel_to_hz_htk
+
+    assert hz_to_mel_htk(1000.0) == pytest.approx(999.9855, abs=1e-2)
+    assert mel_to_hz_htk(hz_to_mel_htk(440.0)) == pytest.approx(440.0, rel=1e-9)
+
+
+def test_mel_spectrogram_is_matmul_of_spec(rng):
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    spec = np.asarray(spectrogram(x, n_fft=512, hop=128))
+    fb = mel_filterbank(16000, 512, 64)
+    expect = np.einsum("bft,fm->bmt", spec, fb)
+    ours = np.asarray(mel_spectrogram(x, sr=16000, n_fft=512, hop=128, n_mels=64))
+    np.testing.assert_allclose(ours, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_spec_augment_masks(rng):
+    import jax
+
+    spec = np.ones((3, 64, 100), np.float32)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(3), spec, 16, 25))
+    assert out.shape == spec.shape
+    # same mask across batch
+    assert np.array_equal(out[0], out[1])
+    # masked rows/cols are zeroed, others untouched
+    assert ((out == 0) | (out == 1)).all()
+    assert (out == 0).any()
