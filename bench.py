@@ -62,13 +62,17 @@ def bench_ours(batch_size: int = 32, n_steps: int = 8) -> float:
     batch = make_synthetic_batch(0, batch_size, n_samples, sr, "flanger")
     batch = jax.tree.map(jax.numpy.asarray, batch)
 
-    # warmup/compile
+    # warmup/compile.  NOTE: force a host pull of a scalar metric rather
+    # than block_until_ready — remote-tunnel TPU backends can return from
+    # block_until_ready before execution finishes, and the metric depends
+    # on the full step so pulling it fences the computation.
     state, m = task.train_step(state, batch, key)
-    jax.block_until_ready(m)
+    float(jax.tree.leaves(m)[0])
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, m = task.train_step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(m)
+    # steps chain through `state`, so pulling the last metric fences all.
+    float(jax.tree.leaves(m)[0])
     dt = time.perf_counter() - t0
     audio_sec = batch_size * (n_samples / sr) * n_steps
     return audio_sec / dt

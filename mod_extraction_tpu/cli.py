@@ -26,6 +26,7 @@ from __future__ import annotations
 import inspect
 import logging
 import os
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -100,12 +101,19 @@ def resolve_config_path(path: str, base_dir: Optional[str] = None) -> str:
     raise FileNotFoundError(f"config not found: {path} (tried {candidates})")
 
 
+_SCI_FLOAT_RE = re.compile(r"^[+-]?\d+(\.\d*)?[eE][+-]?\d+$")
+
+
 def _resolve_includes(node: Any, base_dir: str) -> Any:
     if isinstance(node, str) and node.endswith((".yml", ".yaml")):
         try:
             return load_yaml_with_includes(node, base_dir)
         except FileNotFoundError:
             return node  # plain string that happens to end in .yml
+    if isinstance(node, str) and _SCI_FLOAT_RE.match(node):
+        # PyYAML leaves exponent-without-decimal-point literals like
+        # `1e-4` as strings (YAML 1.1 float grammar); configs mean floats
+        return float(node)
     if isinstance(node, dict):
         return {k: _resolve_includes(v, base_dir) for k, v in node.items()}
     if isinstance(node, list):

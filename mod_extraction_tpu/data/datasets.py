@@ -120,15 +120,20 @@ class RandomAudioChunkDataset:
         seed: int = 0,
     ) -> None:
         self.input_dir = input_dir
-        self.n_samples = n_samples
-        self.sr = sr
-        self.num_examples_per_epoch = num_examples_per_epoch
-        self.silence_fraction_allowed = silence_fraction_allowed
-        self.silence_threshold_energy = silence_threshold_energy
-        self.n_retries = n_retries
-        self.end_buffer_n_samples = end_buffer_n_samples
-        self.should_peak_norm = should_peak_norm
-        self.peak_norm_db = peak_norm_db
+        self.n_samples = int(n_samples)
+        n_samples = self.n_samples
+        self.sr = float(sr)
+        sr = self.sr
+        self.num_examples_per_epoch = int(num_examples_per_epoch)
+        self.silence_fraction_allowed = float(silence_fraction_allowed)
+        silence_fraction_allowed = self.silence_fraction_allowed
+        # explicit coercion: YAML renders scientific notation like `1e-4`
+        # as a *string* (PyYAML needs a decimal point to parse a float)
+        self.silence_threshold_energy = float(silence_threshold_energy)
+        self.n_retries = int(n_retries)
+        self.end_buffer_n_samples = int(end_buffer_n_samples)
+        self.should_peak_norm = bool(should_peak_norm)
+        self.peak_norm_db = float(peak_norm_db)
         self.seed = seed
         self.max_n_consecutive_silent_samples = int(
             silence_fraction_allowed * n_samples

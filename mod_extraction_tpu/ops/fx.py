@@ -222,6 +222,7 @@ def apply_phaser(
     phase=0.0,
     n_stages: int = 6,
     mod_sig: jnp.ndarray | None = None,
+    implementation: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Time-varying allpass-cascade phaser (pedalboard/JUCE-style).
 
@@ -257,5 +258,14 @@ def apply_phaser(
     g = jnp.tan(jnp.pi * fc / sr)  # (B, T)
     g_all = jnp.broadcast_to(g[:, None, :], (b, c, t))
 
+    if implementation in ("pallas", "auto") and _pallas_available():
+        try:
+            from mod_extraction_tpu.ops.pallas_fx import phaser_pallas
+
+            wet = phaser_pallas(x, g_all, feedback_b, mix_b, n_stages=n_stages)
+            return jnp.clip(wet, -1.0, 1.0), mod_sig
+        except (ImportError, NotImplementedError):
+            if implementation == "pallas":
+                raise
     wet = _phaser_scan(x, g_all, feedback_b, mix_b, n_stages)
     return jnp.clip(wet, -1.0, 1.0), mod_sig

@@ -47,7 +47,10 @@ def test_conv2d_same_dilated_matches_torch(rng):
         }
     }
     xl = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
-    out = mod.apply(params, xl)
+    # XLA CPU's default-precision conv accumulates loosely (~5e-3 abs);
+    # pin highest precision for the parity check.
+    with jax.default_matmul_precision("highest"):
+        out = mod.apply(params, xl)
     out = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
