@@ -297,6 +297,21 @@ class RunConfig:
         raise KeyError(f"Unknown task class_path: {path}")
 
 
+def _media_callback_for(run: "RunConfig"):
+    """LogSpecAndModSig / LogAudio callback analog (`callbacks.py:37-184`),
+    enabled via `custom.log_media` (media goes to out/<run>_media/)."""
+    if not (run.raw.get("custom") or {}).get("log_media", False):
+        return None
+    from mod_extraction_tpu.utils.plotting import (
+        em_media_callback,
+        lfo_media_callback,
+    )
+
+    if isinstance(run.task, TBPTTEffectModelingTask):
+        return em_media_callback()
+    return lfo_media_callback()
+
+
 def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         max_epochs: Optional[int] = None):
     cfg = load_yaml_with_includes(config_path)
@@ -309,6 +324,7 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         run_name=run.run_name,
         seed=run.seed,
         resume=resume,
+        media_callback=_media_callback_for(run),
     )
     return trainer.fit()
 
@@ -322,6 +338,7 @@ def validate(config_path: str, out_dir: str = "out",
     trainer = Trainer(
         run.task, run.data_module, out_dir=out_dir,
         run_name=run.run_name + "_eval", seed=run.seed,
+        media_callback=_media_callback_for(run),
     )
     state = state_override
     if state is None:

@@ -35,6 +35,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Type
 
 import numpy as np
 
+from mod_extraction_tpu import native
 from mod_extraction_tpu.data import mods
 from mod_extraction_tpu.data.wav import wav_info, wav_read
 
@@ -171,6 +172,11 @@ class RandomAudioChunkDataset:
         if w < 1:
             return False
         hop = max(1, w // 4)
+        native_result = native.silence_scan(
+            chunk, w, hop, self.silence_threshold_energy
+        )
+        if native_result is not None:
+            return native_result
         energy = chunk**2
         t = chunk.shape[-1]
         n_win = (t - w) // hop + 1

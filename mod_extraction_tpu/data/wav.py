@@ -6,9 +6,9 @@ Supports RIFF/WAVE with PCM 8/16/24/32-bit (format 1) and float 32/64
 (format 3), including WAVE_FORMAT_EXTENSIBLE, with frame-offset chunk
 reads so random 2-second crops never load whole files.
 
-A C++ fast path (csrc/wavio.cpp -> libmodx_wavio.so) accelerates batch
-chunk loading + silence scanning; see data/native.py.  This module is the
-always-available pure-Python fallback and the correctness reference.
+A C++ fast path (native/modx_native.cpp via mod_extraction_tpu.native)
+accelerates chunk decoding; this module is the always-available
+pure-Python fallback and the correctness reference.
 """
 
 from __future__ import annotations
@@ -104,6 +104,14 @@ def wav_read(
     """Read (channels, frames) float32 in [-1, 1] + sample rate.
 
     `frame_offset`/`num_frames` mirror torchaudio.load's chunked reads."""
+    if num_frames > 0:
+        # chunk reads are the per-example hot path — try the C++ decoder
+        from mod_extraction_tpu import native
+
+        if native.available():
+            got = native.wav_read_chunk(path, frame_offset, num_frames)
+            if got is not None:
+                return got
     with open(path, "rb") as f:
         info = _parse_header(f)
         if num_frames < 0:

@@ -150,3 +150,43 @@ def lfo_media_callback(max_examples: int = 4):
         return None
 
     return cb
+
+
+def em_media_callback(max_examples: int = 4, save_audio: bool = True):
+    """Media hook for the TBPTT effect-model Trainer: on val batch 0, save
+    stacked dry/wet/wet_hat waveform plots + audio for the first few
+    examples (reference `callbacks.py:102-184`, LogAudioCallback)."""
+
+    def cb(trainer, params, batch, epoch):
+        import jax
+
+        from mod_extraction_tpu.models.lstm import lstm_init_state
+
+        task = trainer.task
+        key = jax.random.PRNGKey(0)
+        dry, wet, mod_sr, _, _, _ = task._prepare(batch, key)
+        b = dry.shape[0]
+        h0 = lstm_init_state(b, task.effect_model.n_hidden)
+        wet_hat, _ = task.effect_model.apply(params, dry, mod_sr, h0)
+        dry, wet, wet_hat = (np.asarray(a) for a in (dry, wet, wet_hat))
+        sr = task.render_cfg.sr
+        save_dir = ensure_dir(
+            os.path.join(trainer.out_dir, trainer.run_name + "_media", f"ep{epoch}")
+        )
+        for i in range(min(max_examples, b)):
+            plot_waveforms_stacked(
+                [dry[i, 0], wet[i, 0], wet_hat[i, 0]],
+                ["dry", "wet", "wet_hat"],
+                save_name=f"{i}_waveforms",
+                sr=sr,
+                save_dir=save_dir,
+            )
+            if save_audio:
+                for name, a in (("dry", dry), ("wet", wet), ("wet_hat", wet_hat)):
+                    wav_write(
+                        os.path.join(save_dir, f"{i}_{name}.wav"),
+                        a[i], int(sr),
+                    )
+        return None
+
+    return cb

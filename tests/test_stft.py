@@ -41,8 +41,10 @@ def test_mel_filterbank_properties():
     fb = mel_filterbank(44100, 1024, 256)
     assert fb.shape == (513, 256)
     assert fb.min() >= 0.0
-    # every filter has nonzero support except possibly the lowest few
-    assert (fb.sum(axis=0) > 0).sum() >= 250
+    # With 256 mel bands over 513 FFT bins (HTK scale), the lowest mel
+    # filters are narrower than one FFT bin, so ~20 have empty support —
+    # torchaudio's melscale_fbanks produces the same (and warns).
+    assert (fb.sum(axis=0) > 0).sum() >= 230
     # triangle peaks are at most 1 (no normalization)
     assert fb.max() <= 1.0 + 1e-6
     # HTK scale: mel(1000 Hz) ~ 999.99
