@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def bench_ours(batch_size: int = 32, n_steps: int = 8) -> float:
+def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
     import jax
     import optax
 

@@ -49,10 +49,23 @@ def same_pads(kernel: int, dilation: int) -> tuple[int, int]:
 
 def max_pool_floor(x: jnp.ndarray, window: tuple[int, int]) -> jnp.ndarray:
     """torch `nn.MaxPool2d(window)` (stride=window, floor mode), on
-    (B, H, W, C) channel-last input."""
+    (B, H, W, C) channel-last input.
+
+    Implemented with `lax.reduce_window` (VALID padding after cropping to
+    window multiples): its gradient is a select-and-scatter, unlike a
+    reshape+max whose backward materializes an eq-broadcast the size of
+    batch x activations x window (HBM OOM at large batch)."""
+    import jax
+
     h, w = window
     b, hh, ww, c = x.shape
     hh2, ww2 = (hh // h) * h, (ww // w) * w
     x = x[:, :hh2, :ww2, :]
-    x = x.reshape(b, hh2 // h, h, ww2 // w, w, c)
-    return jnp.max(x, axis=(2, 4))
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, h, w, 1),
+        window_strides=(1, h, w, 1),
+        padding="VALID",
+    )
