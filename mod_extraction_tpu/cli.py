@@ -278,6 +278,10 @@ class RunConfig:
                         jax.random.PRNGKey(self.seed),
                         jnp.zeros((1, in_ch, render_cfg.n_samples)),
                     )
+            param_cfg = args.pop("param_model", None)
+            param_model = (
+                build_model(param_cfg, self.data_links) if param_cfg else None
+            )
             return TBPTTEffectModelingTask(
                 effect_model=effect_model,
                 render_cfg=render_cfg,
@@ -285,6 +289,8 @@ class RunConfig:
                 step_n_samples=args.get("step_n_samples", 1024),
                 lfo_model=lfo_model,
                 lfo_params=lfo_params,
+                freeze_lfo_model=args.get("freeze_lfo_model", True),
+                param_model=param_model,
                 optimizer=self.optimizer,
                 use_dry=args.get("use_dry", True),
                 model_smooth_n_frames=args.get("model_smooth_n_frames", 8),

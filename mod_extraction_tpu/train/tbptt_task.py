@@ -45,7 +45,10 @@ from mod_extraction_tpu.utils.interp import linear_interpolate_last_dim
 
 
 class TBPTTState(struct.PyTreeNode):
-    params: Any  # effect model params
+    # Effect-model params when only the effect model trains (the shipped
+    # configs); a {"effect", "param"?, "lfo"?} dict when a param_model is
+    # attached or the extractor is unfrozen (`lightning.py:343-347,361-365`).
+    params: Any
     opt_state: Any
     step: jnp.ndarray
 
@@ -57,7 +60,9 @@ class TBPTTEffectModelingTask:
     warmup_n_samples: int = 1024
     step_n_samples: int = 1024
     lfo_model: Any = None  # flax extractor, RandomLFO, or None (GT mod sig)
-    lfo_params: Any = None  # frozen extractor params
+    lfo_params: Any = None  # extractor params (starting point if unfrozen)
+    freeze_lfo_model: bool = True
+    param_model: Any = None  # clip-level latent model (SpectralDSTCN)
     optimizer: Optional[optax.GradientTransformation] = None
     use_dry: bool = True
     model_smooth_n_frames: int = 8
@@ -75,26 +80,75 @@ class TBPTTEffectModelingTask:
             self.optimizer = optax.adamw(1e-4, b1=0.8, b2=0.99)
         self.use_gt_mod_sig = self.lfo_model is None
         self.is_random_lfo = isinstance(self.lfo_model, RandomLFO)
+        self.trainable_lfo = (
+            self.lfo_model is not None
+            and not self.freeze_lfo_model
+            and not self.is_random_lfo
+        )
+        # multi-component param pytree only when something besides the
+        # effect model trains (keeps shipped-config ckpt layout stable)
+        self.multi_params = self.param_model is not None or self.trainable_lfo
+        if self.param_model is not None and hasattr(self.param_model, "n_samples"):
+            # the param model sees the centre-CROPPED wet signal; fix up
+            # its static length so LayerNorm temporal dims line up
+            n = self._cropped_n_samples()
+            if self.param_model.n_samples != n:
+                self.param_model = self.param_model.clone(n_samples=n)
 
     # ---------------------------------------------------------------- init
     def init_state(self, key: jax.Array) -> TBPTTState:
         b, t = 2, self.warmup_n_samples
         em = self.effect_model
+        k_eff, k_param, k_lfo = jax.random.split(key, 3)
         params = em.init(
-            key,
+            k_eff,
             jnp.zeros((b, em.in_ch, t)),
             jnp.zeros((b, em.latent_dim, t)),
             lstm_init_state(b, em.n_hidden),
         )
+        if self.multi_params:
+            params = {"effect": params}
+            if self.param_model is not None:
+                params["param"] = self.param_model.init(
+                    k_param, jnp.zeros((b, 1, self._cropped_n_samples()))
+                )
+            if self.trainable_lfo:
+                lfo_p = self.lfo_params
+                if lfo_p is None:
+                    in_ch = 2 if self.use_dry else 1
+                    lfo_p = self.lfo_model.init(
+                        k_lfo, jnp.zeros((b, in_ch, self.render_cfg.n_samples))
+                    )
+                params["lfo"] = lfo_p
         return TBPTTState(
             params=params,
             opt_state=self.optimizer.init(params),
             step=jnp.zeros((), jnp.int32),
         )
 
+    def _cropped_n_samples(self) -> int:
+        """Static audio length after the proportional centre-crop that
+        follows mod-sig smoothing (`lightning.py:320-323`)."""
+        t = self.render_cfg.n_samples
+        n_frames = self.render_cfg.n_mod_frames
+        if self.use_gt_mod_sig or self.is_random_lfo:
+            n_hat = n_frames
+        else:
+            n_hat = self.render_cfg.n_samples // 256 + 1  # extractor frames
+        removed = max(0, self.model_smooth_n_frames - 1)
+        if self.stretch_smooth_n_frames > 1 and self.should_stretch:
+            removed += self.stretch_smooth_n_frames - 1
+        n_after = n_hat - removed
+        return int((n_after / n_hat) * t)
+
+    def _effect_params(self, params):
+        return params["effect"] if self.multi_params else params
+
     # ----------------------------------------------------------- mod sig
-    def _extract_mod_sig(self, dry, wet, mod_frames, fx, key):
-        """Frozen extractor forward (no grad) — `lightning.py:254-272`."""
+    def _extract_mod_sig(self, dry, wet, mod_frames, fx, key, lfo_params=None):
+        """Extractor forward — `lightning.py:254-272`.  Gradients flow only
+        when `lfo_params` is passed explicitly (unfrozen path,
+        `lightning.py:361-365`); otherwise stop_gradient == torch no_grad."""
         if self.use_gt_mod_sig:
             return mod_frames, mod_frames
         if self.is_random_lfo:
@@ -102,8 +156,11 @@ class TBPTTEffectModelingTask:
             mod = linear_interpolate_last_dim(mod_frames, mod_hat.shape[-1])
             return mod_hat, mod
         model_in = jnp.concatenate([dry, wet], axis=1) if self.use_dry else wet
-        mod_hat, _ = self.lfo_model.apply(self.lfo_params, model_in)
-        mod_hat = jax.lax.stop_gradient(mod_hat[:, 0, :])
+        p = lfo_params if lfo_params is not None else self.lfo_params
+        mod_hat, _ = self.lfo_model.apply(p, model_in)
+        mod_hat = mod_hat[:, 0, :]
+        if lfo_params is None:
+            mod_hat = jax.lax.stop_gradient(mod_hat)
         mod = linear_interpolate_last_dim(mod_frames, mod_hat.shape[-1])
         return mod_hat, mod
 
@@ -123,18 +180,24 @@ class TBPTTEffectModelingTask:
                 mod = center_crop_last(mod, mod_hat.shape[-1])
         return mod_hat, mod, orig - mod_hat.shape[-1]
 
-    def _prepare(self, batch, key):
-        """render -> extract -> smooth/stretch -> crop -> validity -> upsample."""
-        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg)
-        t = dry.shape[-1]
+    def _prepare(self, batch, key, lfo_params=None):
+        """render -> extract -> smooth/stretch -> crop -> validity -> upsample.
+
+        Returns (dry, wet, mod_sr, mod_hat, mod, weights, extras) where
+        extras = (dry_full, wet_full, mod_frames, fx) — the uncropped
+        tensors the unfrozen-extractor path re-extracts from."""
+        dry_full, wet_full, mod_frames, fx = render_batch(batch, self.render_cfg)
+        t = dry_full.shape[-1]
         assert t >= self.warmup_n_samples + self.step_n_samples
 
-        mod_hat, mod = self._extract_mod_sig(dry, wet, mod_frames, fx, key)
+        mod_hat, mod = self._extract_mod_sig(
+            dry_full, wet_full, mod_frames, fx, key, lfo_params=lfo_params
+        )
         mod_hat, mod, removed = self._smooth_stretch(mod_hat, mod)
         n_frames = mod_hat.shape[-1]
         n_samples = int((n_frames / (n_frames + removed)) * t)
-        dry = center_crop_last(dry, n_samples)
-        wet = center_crop_last(wet, n_samples)
+        dry = center_crop_last(dry_full, n_samples)
+        wet = center_crop_last(wet_full, n_samples)
 
         if self.discard_invalid_lfos:
             weights = find_valid_mod_sig_mask(mod_hat).astype(jnp.float32)
@@ -142,22 +205,54 @@ class TBPTTEffectModelingTask:
             weights = jnp.ones((dry.shape[0],), jnp.float32)
 
         mod_sr = linear_interpolate_last_dim(mod_hat, n_samples)[:, None, :]
-        return dry, wet, mod_sr, mod_hat, mod, weights
+        extras = (dry_full, wet_full, mod_frames, fx)
+        return dry, wet, mod_sr, mod_hat, mod, weights, extras
+
+    def _chunk_mod_sr(self, p, extras, key, n_samples):
+        """Re-extract the mod signal with CURRENT (trainable) extractor
+        params — the reference's unfrozen per-chunk path
+        (`lightning.py:361-365`)."""
+        dry_full, wet_full, mod_frames, fx = extras
+        mod_hat, _ = self._extract_mod_sig(
+            dry_full, wet_full, mod_frames, fx, key, lfo_params=p["lfo"]
+        )
+        mod_hat, _, _ = self._smooth_stretch(mod_hat, mod_hat)
+        return linear_interpolate_last_dim(mod_hat, n_samples)[:, None, :]
+
+    def _param_latent(self, p, wet, n: int):
+        """Clip-level param_model latent repeated over n samples
+        (`lightning.py:343-347,371-375`)."""
+        lat = self.param_model.apply(p["param"], wet)  # (B, L)
+        return jnp.broadcast_to(
+            lat[:, :, None], (lat.shape[0], lat.shape[1], n)
+        )
 
     # --------------------------------------------------------------- steps
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def train_step(self, state: TBPTTState, batch, key) -> Tuple[TBPTTState, Dict]:
         em = self.effect_model
-        dry, wet, mod_sr, mod_hat, mod, weights = self._prepare(batch, key)
+        lfo_p0 = state.params.get("lfo") if self.trainable_lfo else None
+        if lfo_p0 is not None:
+            lfo_p0 = jax.lax.stop_gradient(lfo_p0)
+        dry, wet, mod_sr, mod_hat, mod, weights, extras = self._prepare(
+            batch, key, lfo_params=lfo_p0
+        )
         b = dry.shape[0]
         w, s = self.warmup_n_samples, self.step_n_samples
         t = dry.shape[-1]
         n_chunks = (t - w) // s
 
-        # warmup pass (`lightning.py:340-353`)
+        # warmup pass (`lightning.py:340-353`); param latent without grad
+        warm_lat = mod_sr[:, :, :w]
+        if self.param_model is not None:
+            warm_lat = jnp.concatenate(
+                [warm_lat,
+                 jax.lax.stop_gradient(self._param_latent(state.params, wet, w))],
+                axis=1,
+            )
         h0 = lstm_init_state(b, em.n_hidden)
         y_warm, hidden = em.apply(
-            state.params, dry[:, :, :w], mod_sr[:, :, :w], h0
+            self._effect_params(state.params), dry[:, :, :w], warm_lat, h0
         )
         hidden = jax.tree.map(jax.lax.stop_gradient, hidden)
 
@@ -165,12 +260,22 @@ class TBPTTEffectModelingTask:
             params, opt_state, hid = carry
             d_c = jax.lax.dynamic_slice(dry, (0, 0, start), (b, dry.shape[1], s))
             w_c = jax.lax.dynamic_slice(wet, (0, 0, start), (b, wet.shape[1], s))
-            m_c = jax.lax.dynamic_slice(
-                mod_sr, (0, 0, start), (b, mod_sr.shape[1], s)
-            )
 
             def loss_fn(p):
-                y, new_hid = em.apply(p, d_c, m_c, hid)
+                if self.trainable_lfo:
+                    # re-extract with current extractor params so grads
+                    # flow into it (`lightning.py:361-365`)
+                    mod_sr_p = self._chunk_mod_sr(p, extras, key, t)
+                else:
+                    mod_sr_p = mod_sr
+                m_c = jax.lax.dynamic_slice(
+                    mod_sr_p, (0, 0, start), (b, mod_sr_p.shape[1], s)
+                )
+                if self.param_model is not None:
+                    m_c = jnp.concatenate(
+                        [m_c, self._param_latent(p, wet, s)], axis=1
+                    )
+                y, new_hid = em.apply(self._effect_params(p), d_c, m_c, hid)
                 loss, _ = self.losses(y, w_c, weights)
                 return loss, (y, new_hid)
 
@@ -202,14 +307,24 @@ class TBPTTEffectModelingTask:
         """Full-sequence forward (numerically identical to the reference's
         no-update chunk loop), warmup excluded from the metric."""
         em = self.effect_model
-        dry, wet, mod_sr, mod_hat, mod, weights = self._prepare(batch, key)
+        lfo_p = params.get("lfo") if self.trainable_lfo else None
+        dry, wet, mod_sr, mod_hat, mod, weights, _ = self._prepare(
+            batch, key, lfo_params=lfo_p
+        )
         b = dry.shape[0]
         w, s = self.warmup_n_samples, self.step_n_samples
         t = dry.shape[-1]
         n_chunks = (t - w) // s
         end = w + n_chunks * s
+        latent = mod_sr[:, :, :end]
+        if self.param_model is not None:
+            latent = jnp.concatenate(
+                [latent, self._param_latent(params, wet, end)], axis=1
+            )
         h0 = lstm_init_state(b, em.n_hidden)
-        wet_hat, _ = em.apply(params, dry[:, :, :end], mod_sr[:, :, :end], h0)
+        wet_hat, _ = em.apply(
+            self._effect_params(params), dry[:, :, :end], latent, h0
+        )
         _, metrics = self.losses(
             wet_hat[:, :, w:], wet[:, :, w:end], weights
         )

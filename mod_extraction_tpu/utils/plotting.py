@@ -164,7 +164,7 @@ def em_media_callback(max_examples: int = 4, save_audio: bool = True):
 
         task = trainer.task
         key = jax.random.PRNGKey(0)
-        dry, wet, mod_sr, _, _, _ = task._prepare(batch, key)
+        dry, wet, mod_sr, _, _, _, _ = task._prepare(batch, key)
         b = dry.shape[0]
         h0 = lstm_init_state(b, task.effect_model.n_hidden)
         wet_hat, _ = task.effect_model.apply(params, dry, mod_sr, h0)

@@ -30,8 +30,14 @@ if __name__ == "__main__":
     # frozen extractor under "lfo_params".
     if attribute in ("model", "effect_model"):
         params = state["params"]
+        if isinstance(params, dict) and "effect" in params:
+            params = params["effect"]  # multi-component TBPTT layout
     elif attribute == "lfo_model":
-        params = state["lfo_params"]["params"]
+        params = state["params"].get("lfo") or state["lfo_params"]
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+    elif attribute == "param_model":
+        params = state["params"]["param"]
     else:
         raise SystemExit(f"unknown attribute: {attribute}")
     if isinstance(params, dict) and "params" in params:
