@@ -50,6 +50,7 @@ def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
         pool_size=(2, 1),
         freq_mask_amount=0.25,
         time_mask_amount=0.25,
+        compute_dtype="bfloat16",
     )
     task = LFOExtractionTask(
         model=model,

@@ -236,6 +236,8 @@ class RunConfig:
         self.data_links = {k: v for k, v in self.data_links.items() if v is not None}
 
         self.optimizer = build_optimizer(cfg.get("optimizer"))
+        opt_args = (cfg.get("optimizer") or {}).get("init_args") or {}
+        self.lr = float(opt_args.get("lr", 1e-4))
         self.task = self._build_task(dict(cfg["model"]))
 
     def _build_task(self, model_cfg: Dict[str, Any]):
@@ -331,6 +333,8 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         seed=run.seed,
         resume=resume,
         media_callback=_media_callback_for(run),
+        lr=run.lr,
+        profile_dir=(run.raw.get("custom") or {}).get("profile_dir"),
     )
     return trainer.fit()
 

@@ -65,6 +65,9 @@ class Trainer:
         media_callback: Optional[Callable] = None,
         log_every_n_steps: int = 50,
         resume: bool = False,
+        lr: Optional[float] = None,
+        profile_dir: Optional[str] = None,
+        check_finite: bool = True,
     ) -> None:
         self.task = task
         self.dm = data_module
@@ -78,6 +81,15 @@ class Trainer:
         self.media_callback = media_callback
         self.log_every_n_steps = log_every_n_steps
         self.resume = resume
+        # ConsoleLRMonitor analog (`callbacks.py:22-34`): log the LR with
+        # every step line (fixed-LR optimizers in all reference configs)
+        self.lr = lr
+        # jax.profiler hook (SURVEY §5.1): trace a few steady-state steps
+        self.profile_dir = profile_dir
+        self._profiling = False
+        # NaN/Inf guard (SURVEY §5.2): metrics reach the host anyway, so
+        # checking them is free; fail fast instead of training on NaNs
+        self.check_finite = check_finite
 
     def fit(self) -> Any:
         self.dm.setup("fit")
@@ -106,23 +118,37 @@ class Trainer:
             t_epoch = time.time()
             t_step = time.time()
             for batch in train_loader.epoch(epoch):
+                if self.profile_dir and global_step == 10 and not self._profiling:
+                    jax.profiler.start_trace(ensure_dir(self.profile_dir))
+                    self._profiling = True
                 batch = shard_batch(batch, self.mesh)
                 step_key = jax.random.fold_in(key, global_step)
                 state, metrics = self.task.train_step(state, batch, step_key)
                 train_acc.append({k: float(v) for k, v in metrics.items()})
+                if self.check_finite and not np.isfinite(
+                    train_acc[-1].get("loss", 0.0)
+                ):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step}: {train_acc[-1]}"
+                    )
                 global_step += 1
+                if self._profiling and global_step >= 15:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self.profile_dir = None
                 if global_step % self.log_every_n_steps == 0:
                     dt = time.time() - t_step
-                    self.metrics.log(
-                        {
-                            "phase": "train_step",
-                            "step": global_step,
-                            "audio_sec_per_sec": self.log_every_n_steps
-                            * audio_sec_per_batch
-                            / dt,
-                            **train_acc[-1],
-                        }
-                    )
+                    payload = {
+                        "phase": "train_step",
+                        "step": global_step,
+                        "audio_sec_per_sec": self.log_every_n_steps
+                        * audio_sec_per_batch
+                        / dt,
+                        **train_acc[-1],
+                    }
+                    if self.lr is not None:
+                        payload["lr"] = self.lr
+                    self.metrics.log(payload)
                     t_step = time.time()
 
             val_metrics = self.validate(state, val_loader, epoch)
