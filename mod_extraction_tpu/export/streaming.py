@@ -51,6 +51,7 @@ class StreamingEffectModel:
         n_hidden: int = 64,
         sr: float = 44100.0,
         n_channels: int = 2,
+        lstm_impl: str = "auto",
     ) -> None:
         self.model = LSTMEffectModel(
             in_ch=1, out_ch=1, n_hidden=n_hidden, latent_dim=1
@@ -59,6 +60,7 @@ class StreamingEffectModel:
         self.sr = sr
         self.n_hidden = n_hidden
         self.n_channels = n_channels
+        self.lstm_impl = lstm_impl
 
     def init_state(self) -> Dict:
         return init_stream_state(self.n_channels, self.n_hidden)
@@ -83,12 +85,22 @@ class StreamingEffectModel:
         arg = arg_l[None, :] + offsets[:, None]
         lfo = (jnp.cos(arg) + 1.0) / 2.0 * lfo_depth  # (C, T)
 
-        y, (h, c_state) = self.model.apply(
-            self.params,
-            x[:, None, :],  # channels as batch
-            lfo[:, None, :],
-            (state["h"], state["c"]),
-        )
+        if self.lstm_impl in ("pallas", "auto") and jax.default_backend() == "tpu":
+            from mod_extraction_tpu.ops.pallas_lstm import lstm_effect_model_pallas
+
+            y, (h, c_state) = lstm_effect_model_pallas(
+                self.params,
+                x[:, None, :],  # channels as batch
+                lfo[:, None, :],
+                (state["h"], state["c"]),
+            )
+        else:
+            y, (h, c_state) = self.model.apply(
+                self.params,
+                x[:, None, :],
+                lfo[:, None, :],
+                (state["h"], state["c"]),
+            )
         return y[:, 0, :], {"h": h, "c": c_state, "phase": next_phase}
 
     def process_np(self, state, x: np.ndarray, lfo_rate=0.2, lfo_depth=0.6667,

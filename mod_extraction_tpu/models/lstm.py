@@ -40,6 +40,9 @@ class LSTMEffectModel(nn.Module):
     out_ch: int = 1
     n_hidden: int = 64
     latent_dim: int = 1
+    # lax.scan unroll factor: trades compile time for lower per-step while-
+    # loop overhead on the latency-bound sample-rate recurrence.
+    unroll: int = 8
 
     @nn.compact
     def __call__(
@@ -78,7 +81,9 @@ class LSTMEffectModel(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), gx)  # hs: (T, B, H)
+        (h_n, c_n), hs = jax.lax.scan(
+            step, (h0, c0), gx, unroll=self.unroll
+        )  # hs: (T, B, H)
 
         fc = nn.Dense(self.out_ch, name="fc")
         y = fc(hs)  # (T, B, out_ch)

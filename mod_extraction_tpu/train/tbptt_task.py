@@ -71,6 +71,10 @@ class TBPTTEffectModelingTask:
     stretch_smooth_n_frames: int = 0
     discard_invalid_lfos: bool = True
     loss_dict: Optional[Dict[str, float]] = None
+    # LSTM implementation for NO-GRAD forwards (warmup, full-sequence
+    # val): "auto" uses the fused Pallas kernel on TPU.  Gradient chunks
+    # always use the scan (autodiff applies there).
+    lstm_impl: str = "auto"
 
     def __post_init__(self):
         if self.loss_dict is None:
@@ -143,6 +147,21 @@ class TBPTTEffectModelingTask:
 
     def _effect_params(self, params):
         return params["effect"] if self.multi_params else params
+
+    def _em_forward_nograd(self, eff_params, x, latent, state):
+        """Effect-model forward on a no-grad path; fused Pallas kernel on
+        TPU, flax scan elsewhere."""
+        if self.lstm_impl in ("pallas", "auto") and jax.default_backend() == "tpu":
+            try:
+                from mod_extraction_tpu.ops.pallas_lstm import (
+                    lstm_effect_model_pallas,
+                )
+
+                return lstm_effect_model_pallas(eff_params, x, latent, state)
+            except (ImportError, NotImplementedError):
+                if self.lstm_impl == "pallas":
+                    raise
+        return self.effect_model.apply(eff_params, x, latent, state)
 
     # ----------------------------------------------------------- mod sig
     def _extract_mod_sig(self, dry, wet, mod_frames, fx, key, lfo_params=None):
@@ -251,7 +270,7 @@ class TBPTTEffectModelingTask:
                 axis=1,
             )
         h0 = lstm_init_state(b, em.n_hidden)
-        y_warm, hidden = em.apply(
+        y_warm, hidden = self._em_forward_nograd(
             self._effect_params(state.params), dry[:, :, :w], warm_lat, h0
         )
         hidden = jax.tree.map(jax.lax.stop_gradient, hidden)
@@ -322,7 +341,7 @@ class TBPTTEffectModelingTask:
                 [latent, self._param_latent(params, wet, end)], axis=1
             )
         h0 = lstm_init_state(b, em.n_hidden)
-        wet_hat, _ = em.apply(
+        wet_hat, _ = self._em_forward_nograd(
             self._effect_params(params), dry[:, :, :end], latent, h0
         )
         _, metrics = self.losses(
