@@ -148,19 +148,32 @@ class TBPTTEffectModelingTask:
     def _effect_params(self, params):
         return params["effect"] if self.multi_params else params
 
+    def _use_pallas_lstm(self) -> bool:
+        return (
+            self.lstm_impl in ("pallas", "auto")
+            and jax.default_backend() == "tpu"
+        )
+
     def _em_forward_nograd(self, eff_params, x, latent, state):
         """Effect-model forward on a no-grad path; fused Pallas kernel on
         TPU, flax scan elsewhere."""
-        if self.lstm_impl in ("pallas", "auto") and jax.default_backend() == "tpu":
-            try:
-                from mod_extraction_tpu.ops.pallas_lstm import (
-                    lstm_effect_model_pallas,
-                )
+        if self._use_pallas_lstm():
+            from mod_extraction_tpu.ops.pallas_lstm import (
+                lstm_effect_model_pallas,
+            )
 
-                return lstm_effect_model_pallas(eff_params, x, latent, state)
-            except (ImportError, NotImplementedError):
-                if self.lstm_impl == "pallas":
-                    raise
+            return lstm_effect_model_pallas(eff_params, x, latent, state)
+        return self.effect_model.apply(eff_params, x, latent, state)
+
+    def _em_forward_grad(self, eff_params, x, latent, state):
+        """Effect-model forward inside the chunk loss (the TBPTT hot
+        loop): the custom-VJP Pallas kernel pair on TPU, scan elsewhere."""
+        if self._use_pallas_lstm():
+            from mod_extraction_tpu.ops.pallas_lstm import (
+                lstm_effect_model_pallas_train,
+            )
+
+            return lstm_effect_model_pallas_train(eff_params, x, latent, state)
         return self.effect_model.apply(eff_params, x, latent, state)
 
     # ----------------------------------------------------------- mod sig
@@ -294,7 +307,9 @@ class TBPTTEffectModelingTask:
                     m_c = jnp.concatenate(
                         [m_c, self._param_latent(p, wet, s)], axis=1
                     )
-                y, new_hid = em.apply(self._effect_params(p), d_c, m_c, hid)
+                y, new_hid = self._em_forward_grad(
+                    self._effect_params(p), d_c, m_c, hid
+                )
                 loss, _ = self.losses(y, w_c, weights)
                 return loss, (y, new_hid)
 

@@ -52,3 +52,70 @@ def test_pallas_lstm_state_continuation(rng):
         np.asarray(y_full),
         atol=2e-6,
     )
+
+
+def test_pallas_lstm_train_grads_match_autodiff(rng):
+    """custom-VJP kernel pair vs jax.grad of the scan model: y and ALL
+    input/param gradients, incl. cross-chunk reversal and time padding."""
+    from mod_extraction_tpu.ops.pallas_lstm import (
+        lstm_effect_model_pallas_train,
+    )
+
+    b, t, hid = 3, 300, 16  # t not a multiple of TRAIN_T_CHUNK -> padding
+    model, params, x, latent = _setup(rng, b, t, hid)
+    h0 = lstm_init_state(b, hid)
+    tgt = jnp.asarray(rng.standard_normal((b, 1, t)).astype(np.float32))
+
+    def loss_scan(p, x, lat):
+        y, _ = model.apply(p, x, lat, h0)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_pal(p, x, lat):
+        y, _ = lstm_effect_model_pallas_train(p, x, lat, h0, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_scan, argnums=(0, 1, 2))(
+        params, x, latent
+    )
+    l_pal, g_pal = jax.value_and_grad(loss_pal, argnums=(0, 1, 2))(
+        params, x, latent
+    )
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pal = jax.tree.leaves(g_pal)
+    assert len(flat_ref) == len(flat_pal)
+    for a, r in zip(flat_pal, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_pallas_lstm_train_state_cotangents(rng):
+    """Gradient w.r.t. the initial hidden state (the TBPTT carry)."""
+    from mod_extraction_tpu.ops.pallas_lstm import (
+        lstm_effect_model_pallas_train,
+    )
+
+    b, t, hid = 2, 130, 16
+    model, params, x, latent = _setup(rng, b, t, hid)
+    h0 = (
+        jnp.asarray(0.1 * rng.standard_normal((b, hid)).astype(np.float32)),
+        jnp.asarray(0.1 * rng.standard_normal((b, hid)).astype(np.float32)),
+    )
+
+    def loss_scan(st):
+        y, (hn, cn) = model.apply(params, x, latent, st)
+        return jnp.mean(y**2) + jnp.mean(hn**2) + jnp.mean(cn**2)
+
+    def loss_pal(st):
+        y, (hn, cn) = lstm_effect_model_pallas_train(
+            params, x, latent, st, interpret=True
+        )
+        return jnp.mean(y**2) + jnp.mean(hn**2) + jnp.mean(cn**2)
+
+    g_ref = jax.grad(loss_scan)(h0)
+    g_pal = jax.grad(loss_pal)(h0)
+    for a, r in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-6
+        )
