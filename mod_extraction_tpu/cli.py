@@ -356,7 +356,22 @@ def validate(config_path: str, out_dir: str = "out",
             state = None
         else:
             state = run.task.init_state(jax.random.PRNGKey(run.seed))
-            if run.ckpt_path:
+            if run.ckpt_path and run.ckpt_path.endswith((".npz", ".pt")):
+                # bare-weights checkpoint (models/*.npz, the reference's
+                # `.pt` analog) -> replace the task model's params
+                if os.path.isfile(run.ckpt_path):
+                    model = getattr(run.task, "model", None)
+                    loaded = _load_lfo_weights(
+                        model, run.ckpt_path, 2,
+                        run.data_module.render_cfg.n_samples,
+                    )
+                    state = state.replace(params=loaded)
+                else:
+                    log.warning(
+                        "ckpt_path %s not found; validating with random init",
+                        run.ckpt_path,
+                    )
+            elif run.ckpt_path:
                 restored = trainer.ckpts.restore(run.ckpt_path, state)
                 if restored is not None:
                     state = restored

@@ -13,7 +13,8 @@ Every example is a dict with a UNIFIED schema so heterogeneous datasets
 can be interwoven and collated into fixed-shape batches:
 
     dry      (1, n_samples) float32
-    wet      (1, n_samples) float32  (zeros when rendered on device)
+    wet      (1, n_samples) float32  — OMITTED when rendered on device
+             (shipping zeros would double the host->device transfer)
     mod_sig  (n_samples // 100,) float32 (zeros when device-generated)
     fx       dict of scalars — effect routing + parameters; missing
              params default to 0.0 (the reference's defaultdict(float),
@@ -265,7 +266,6 @@ class RandomAudioChunkDataset:
         )
         return {
             "dry": self._maybe_norm(chunk),
-            "wet": np.zeros_like(chunk),
             "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
             "fx": default_fx(),
         }
@@ -356,7 +356,6 @@ class RandomAudioChunkAndModSigDataset(RandomAudioChunkDataset):
         mod, fx = self._sample_mod_sig(rng)
         return {
             "dry": self._maybe_norm(chunk),
-            "wet": np.zeros_like(chunk),
             "mod_sig": mod,
             "fx": fx,
         }
@@ -398,7 +397,6 @@ class PhaserDataset(RandomAudioChunkAndModSigDataset):
         )
         return {
             "dry": self._maybe_norm(chunk),
-            "wet": np.zeros_like(chunk),
             "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
             "fx": fx,
         }

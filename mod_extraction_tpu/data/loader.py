@@ -23,9 +23,10 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack example dicts into a fixed-shape batch dict."""
     batch = {
         "dry": np.stack([it["dry"] for it in items]).astype(np.float32),
-        "wet": np.stack([it["wet"] for it in items]).astype(np.float32),
         "mod_sig": np.stack([it["mod_sig"] for it in items]).astype(np.float32),
     }
+    if "wet" in items[0]:  # absent for render-on-device datasets
+        batch["wet"] = np.stack([it["wet"] for it in items]).astype(np.float32)
     fx: Dict[str, np.ndarray] = {}
     for k in FX_FLOAT_KEYS:
         fx[k] = np.asarray([it["fx"].get(k, 0.0) for it in items], np.float32)
@@ -83,12 +84,21 @@ class Loader:
         stop = threading.Event()
 
         def producer():
+            # bounded submission: at most workers+prefetch batches are in
+            # flight, so host RAM stays O(prefetch) instead of O(epoch)
+            # (q.put blocks on maxsize, giving downstream backpressure)
+            from collections import deque
+
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(make_batch, b) for b in range(n_batches)]
-                for fut in futures:
-                    if stop.is_set():
-                        return
-                    q.put(fut.result())
+                pending: deque = deque()
+                b_next = 0
+                while (b_next < n_batches or pending) and not stop.is_set():
+                    while b_next < n_batches and len(pending) < (
+                        self.num_workers + self.prefetch
+                    ):
+                        pending.append(pool.submit(make_batch, b_next))
+                        b_next += 1
+                    q.put(pending.popleft().result())
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

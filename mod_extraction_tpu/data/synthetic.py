@@ -77,7 +77,6 @@ def make_synthetic_batch(
         items.append(
             {
                 "dry": dry,
-                "wet": np.zeros_like(dry),
                 "mod_sig": mod,
                 "fx": fx,
             }

@@ -68,8 +68,13 @@ class Spectral2DCNN(nn.Module):
         x: jnp.ndarray,
         train: bool = False,
         mask_key: Optional[jax.Array] = None,
+        features: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: (B, in_ch, n_samples) audio. Returns ((B, latent_dim, F), (B, C, F))."""
+        """x: (B, in_ch, n_samples) audio. Returns ((B, latent_dim, F), (B, C, F)).
+
+        `features` (B, in_ch, mels, frames) bypasses the Mel frontend —
+        used for frontend-independent parity checks against ported
+        reference weights."""
         assert x.ndim == 3
         chans = self._channels()
         bin_dil = list(self.bin_dilations) if self.bin_dilations else [1] * len(chans)
@@ -81,9 +86,12 @@ class Spectral2DCNN(nn.Module):
         assert len(chans) == len(bin_dil) == len(temp_dil)
         assert self.pool_size[1] == 1
 
-        spec = mel_spectrogram(
-            x, int(self.sr), self.n_fft, self.hop_len, self.n_mels
-        )  # (B, in_ch, mels, frames)
+        if features is not None:
+            spec = features
+        else:
+            spec = mel_spectrogram(
+                x, int(self.sr), self.n_fft, self.hop_len, self.n_mels
+            )  # (B, in_ch, mels, frames)
         n_frames = spec.shape[-1]
 
         if train and mask_key is not None and (

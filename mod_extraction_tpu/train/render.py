@@ -56,9 +56,13 @@ class RenderConfig:
 def render_batch(
     batch: Dict, cfg: RenderConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
-    """(dry, wet, mod_sig_frames, fx) fully rendered, all on device."""
+    """(dry, wet, mod_sig_frames, fx) fully rendered, all on device.
+
+    Batches from render-on-device datasets omit "wet" (it exists only as
+    the kernels' output) — shipping a zeros placeholder from host would
+    double the per-step host->device transfer for nothing."""
     dry = jnp.asarray(batch["dry"])
-    wet = jnp.asarray(batch["wet"])
+    wet = jnp.asarray(batch["wet"]) if "wet" in batch else jnp.zeros_like(dry)
     mod_frames = jnp.asarray(batch["mod_sig"])
     fx = {k: jnp.asarray(v) for k, v in batch["fx"].items()}
     eff = fx["effect_idx"]

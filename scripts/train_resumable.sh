@@ -1,0 +1,15 @@
+#!/bin/bash
+# Chunked training: run `fit` a few epochs at a time in fresh processes,
+# resuming from the `last` checkpoint each round.  Works around hosts
+# whose TPU client leaks host->device transfer buffers (RSS grows with
+# every step until the kernel OOM-kills long runs); on healthy hosts it
+# is equivalent to one long run.
+#
+# Usage: scripts/train_resumable.sh <config> [total_epochs] [epochs_per_proc]
+set -e
+CFG=${1:?usage: train_resumable.sh <config> [total_epochs] [epochs_per_proc]}
+TOTAL=${2:-400}
+CHUNK=${3:-8}
+for ((e = CHUNK; e <= TOTAL; e += CHUNK)); do
+  python -c "from mod_extraction_tpu.cli import fit; fit('$CFG', resume=True, max_epochs=$e)"
+done
