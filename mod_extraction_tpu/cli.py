@@ -376,6 +376,30 @@ def validate(config_path: str, out_dir: str = "out",
                 if restored is not None:
                     state = restored
     metrics = trainer.validate(state)
+
+    if (run.raw.get("custom") or {}).get("save_latents", False) and hasattr(
+        run.task, "_extract"
+    ):
+        # dump Spectral2DCNN latents of one val batch for
+        # scripts/latent_space_visualizations.py (PCA per effect class)
+        import numpy as np
+
+        from mod_extraction_tpu.paths import ensure_dir
+        from mod_extraction_tpu.train.render import render_batch
+
+        run.data_module.setup("validate")
+        batch = next(run.data_module.val_loader().epoch(0))
+        dry, wet, _, fx = render_batch(batch, run.task.render_cfg)
+        params = state.params if hasattr(state, "params") else state
+        _, latent = run.task._extract(
+            params, dry, wet, fx, jax.random.PRNGKey(0), train=False
+        )
+        latents_dir = ensure_dir(os.path.join(out_dir, "latents"))
+        np.save(
+            os.path.join(latents_dir, f"{run.dataset_name}.npy"),
+            np.asarray(latent),
+        )
+
     from mod_extraction_tpu.evaluation.tables import format_validate_table
 
     print(format_validate_table({f"val/{k}": v for k, v in metrics.items()}))
