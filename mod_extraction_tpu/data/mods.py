@@ -13,7 +13,7 @@ convention) so host- and device-generated LFOs are interchangeable.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

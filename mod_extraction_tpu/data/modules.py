@@ -18,7 +18,6 @@ from __future__ import annotations
 import logging
 from typing import Any, Dict, Optional, Type
 
-import numpy as np
 
 from mod_extraction_tpu.data.datasets import (
     EFFECT_FLANGER_CHORUS,

@@ -8,7 +8,7 @@ treat it like the other extractors.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax

@@ -17,7 +17,7 @@ Step semantics (parity with `common_step`, `lightning.py:96-158`):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
