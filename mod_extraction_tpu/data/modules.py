@@ -51,10 +51,13 @@ def _flanger_max_delay_samples(fx_config: Dict[str, Any], sr: float) -> int:
 class BaseDataModule:
     """Shared loader plumbing (reference `data_modules.py:67-83`)."""
 
-    def __init__(self, batch_size: int, num_workers: int = 4, seed: int = 0):
+    def __init__(self, batch_size: int, num_workers: int = 4, seed: int = 0,
+                 transfer_dtype: str = "float32"):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
+        # "int16" halves host->device audio traffic (exact for PCM16 wavs)
+        self.transfer_dtype = transfer_dtype
         self.train_dataset = None
         self.val_dataset = None
 
@@ -72,6 +75,7 @@ class BaseDataModule:
             shuffle=True,
             num_workers=self.num_workers,
             seed=self.seed,
+            transfer_dtype=self.transfer_dtype,
         )
 
     def val_loader(self) -> Loader:
@@ -82,6 +86,7 @@ class BaseDataModule:
             shuffle=False,
             num_workers=self.num_workers,
             seed=self.seed + 1,
+            transfer_dtype=self.transfer_dtype,
         )
 
 
@@ -111,8 +116,9 @@ class RandomAudioChunkDataModule(BaseDataModule):
         peak_norm_db: float = -1.0,
         fx_config: Optional[Dict[str, Any]] = None,
         seed: int = 0,
+        transfer_dtype: str = "float32",
     ) -> None:
-        super().__init__(batch_size, num_workers, seed)
+        super().__init__(batch_size, num_workers, seed, transfer_dtype)
         self.train_dir = train_dir
         self.val_dir = val_dir
         self.train_num = train_num_examples_per_epoch
@@ -264,8 +270,9 @@ class InterwovenDataModule(BaseDataModule):
         shared_args: Optional[Dict[str, Any]] = None,
         num_workers: int = 4,
         seed: int = 0,
+        transfer_dtype: str = "float32",
     ) -> None:
-        super().__init__(batch_size, num_workers, seed)
+        super().__init__(batch_size, num_workers, seed, transfer_dtype)
         self.train_dataset_args = train_dataset_args
         self.val_dataset_args = val_dataset_args
         self.shared_train_args = dict(shared_train_args or {})
@@ -321,8 +328,9 @@ class PreprocessedDataModule(BaseDataModule):
         train_num_examples_per_epoch: Optional[int] = None,
         val_num_examples_per_epoch: Optional[int] = None,
         seed: int = 0,
+        transfer_dtype: str = "float32",
     ) -> None:
-        super().__init__(batch_size, num_workers, seed)
+        super().__init__(batch_size, num_workers, seed, transfer_dtype)
         self.train_dir = train_dir
         self.val_dir = val_dir
         self.n_samples = n_samples

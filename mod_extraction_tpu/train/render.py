@@ -61,8 +61,14 @@ def render_batch(
     Batches from render-on-device datasets omit "wet" (it exists only as
     the kernels' output) — shipping a zeros placeholder from host would
     double the per-step host->device transfer for nothing."""
-    dry = jnp.asarray(batch["dry"])
-    wet = jnp.asarray(batch["wet"]) if "wet" in batch else jnp.zeros_like(dry)
+    def dequant(a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.int16:  # compact wire format (loader int16 mode)
+            return a.astype(jnp.float32) / 32768.0
+        return a
+
+    dry = dequant(batch["dry"])
+    wet = dequant(batch["wet"]) if "wet" in batch else jnp.zeros_like(dry)
     mod_frames = jnp.asarray(batch["mod_sig"])
     fx = {k: jnp.asarray(v) for k, v in batch["fx"].items()}
     eff = fx["effect_idx"]

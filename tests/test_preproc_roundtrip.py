@@ -91,3 +91,19 @@ def test_random_preproc_feeds_loader(preproc_dir):
     assert batches[0]["dry"].shape == (4, 1, N)
     assert batches[0]["wet"].shape == (4, 1, N)
     assert batches[0]["fx"]["effect_idx"].tolist() == [2, 2, 2, 2]
+
+
+def test_int16_transfer_mode(preproc_dir):
+    """int16 wire format: loader quantizes, render_batch dequantizes;
+    exact for PCM16-sourced audio."""
+    out, _ = preproc_dir
+    ds = PreprocessedDataset(out, N, SR)
+    ref = collate([ds.getitem(0, i) for i in range(4)])
+    q = collate([ds.getitem(0, i) for i in range(4)], transfer_dtype="int16")
+    assert q["dry"].dtype == np.int16 and q["wet"].dtype == np.int16
+    cfg = RenderConfig(sr=SR, n_samples=N, effects=())
+    dry_f, wet_f, _, _ = render_batch(ref, cfg)
+    dry_q, wet_q, _, _ = render_batch(q, cfg)
+    # wavs are PCM16 on disk, so the int16 wire is bit-exact
+    np.testing.assert_array_equal(np.asarray(dry_q), np.asarray(dry_f))
+    np.testing.assert_array_equal(np.asarray(wet_q), np.asarray(wet_f))
