@@ -143,3 +143,44 @@ def test_corners_to_mod_sig():
     np.testing.assert_allclose(
         np.asarray(corners_to_mod_sig(np.zeros(t, np.int64), bot)), 0.0
     )
+
+
+def test_stretch_corners_fuzz_noisy_signals(rng):
+    """Fuzz the jittable fixed-budget stretch against the per-example
+    oracle on NOISY, quasi-LFO-like signals (what the TBPTT task actually
+    feeds it: smoothed extractor outputs, reference lightning.py:284-300),
+    including the max_n_corners skip rule."""
+    n, b = 256, 24
+    base = _lfo_batch(
+        ["cos", "tri", "saw", "rsaw", "rect_cos", "inv_rect_cos"] * 4,
+        freq=1.7, phase=0.9, n=n, sr=128.0,
+    )
+    noisy = np.clip(
+        base + 0.04 * rng.standard_normal(base.shape).astype(np.float32), 0, 1
+    )
+    smooth_n = 8
+    sm = np.asarray(smoothen(noisy, smooth_n))
+    max_n_corners = 16
+
+    ours = np.asarray(
+        stretch_corners(noisy, max_n_corners=max_n_corners,
+                        smooth_n_frames=smooth_n)
+    )
+    top, bot = (np.asarray(a) for a in find_corners(sm))
+    n_degenerate = 0
+    for i in range(b):
+        if top[i].sum() + bot[i].sum() > max_n_corners:
+            expect = sm[i]
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                expect = _np_stretch_one(sm[i].astype(np.float64), top[i], bot[i])
+        if not np.isfinite(expect).all():
+            # the REFERENCE divides by zero on plateau segments (equal
+            # original anchor values, modulations.py:281-283 has no
+            # guard); our device op must stay finite there instead
+            n_degenerate += 1
+            assert np.isfinite(ours[i]).all(), f"example {i} not finite"
+            continue
+        np.testing.assert_allclose(ours[i], expect, atol=2e-4,
+                                   err_msg=f"example {i}")
+    assert n_degenerate < b // 2  # most examples exercise real parity
