@@ -44,3 +44,24 @@ def test_phaser_pallas_matches_scan(rng):
                         jnp.asarray(mix), n_stages=n_stages, t_chunk=256,
                         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_flanger_pallas_multi_tile_and_chorus_regime(rng):
+    """Batch*channels > 128 exercises the second lane tile (scratch must
+    reset per tile); chorus delay regime uses the long (~1.7k-slot) line."""
+    b, c, t, d = 70, 2, 300, 200  # b*c = 140 -> 2 lane tiles
+    x = rng.uniform(-0.5, 0.5, (b, c, t)).astype(np.float32)
+    mod = rng.uniform(0, 1, (b, c, t)).astype(np.float32)
+    delay = (mod * (d - 62) + 60.0).astype(np.float32)  # chorus-like offsets
+    fb = rng.uniform(0, 0.5, (b, 1, 1)).astype(np.float32)
+    depth = rng.uniform(0.5, 1.0, (b, 1, 1)).astype(np.float32)
+    mix = rng.uniform(0.5, 1.0, (b, 1, 1)).astype(np.float32)
+    ref = _flanger_scan(
+        jnp.asarray(x), jnp.asarray(delay), jnp.asarray(fb), jnp.asarray(depth),
+        jnp.asarray(mix), d,
+    )
+    out = flanger_pallas(
+        jnp.asarray(x), jnp.asarray(delay), jnp.asarray(fb), jnp.asarray(depth),
+        jnp.asarray(mix), d, t_chunk=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

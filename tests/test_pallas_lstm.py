@@ -119,3 +119,16 @@ def test_pallas_lstm_train_state_cotangents(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-6
         )
+
+
+def test_pallas_lstm_multi_tile_batch(rng):
+    """Batch > 128 lanes: two grid tiles, per-tile state isolation."""
+    b, t, hid = 140, 200, 16
+    model, params, x, latent = _setup(rng, b, t, hid)
+    h0 = lstm_init_state(b, hid)
+    y_ref, (h_ref, _) = model.apply(params, x, latent, h0)
+    y, (h, _) = lstm_effect_model_pallas(
+        params, x, latent, h0, t_chunk=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-6)
