@@ -74,3 +74,38 @@ def port_spectral_2dcnn(sd: Dict[str, np.ndarray], n_layers: int) -> dict:
         "bias": sd["output.bias"],
     }
     return params
+
+
+def port_tcn(sd: Dict[str, np.ndarray], n_blocks: int, prefix: str = "") -> dict:
+    """torch `TCN` state_dict -> flax params for `models.tcn.TCN`.
+
+    torch keys per block i (reference `tcn.py:140-171`):
+    blocks.{i}.conv.weight/bias, blocks.{i}.act.weight (PReLU),
+    blocks.{i}.res.weight (1x1, no bias); LayerNorm has no params."""
+    params: dict = {}
+    for i in range(n_blocks):
+        p = f"{prefix}blocks.{i}."
+        block: dict = {
+            "conv": {
+                "kernel": conv1d_kernel(sd[p + "conv.weight"]),
+                "bias": sd[p + "conv.bias"],
+            }
+        }
+        if p + "act.weight" in sd:
+            block["act"] = {"alpha": sd[p + "act.weight"]}
+        if p + "res.weight" in sd:
+            block["res"] = {"kernel": conv1d_kernel(sd[p + "res.weight"])}
+        params[f"block_{i}"] = block
+    return params
+
+
+def port_spectral_tcn(sd: Dict[str, np.ndarray], n_blocks: int) -> dict:
+    """torch `SpectralTCN` -> flax params (`models.py:72-125`): a TCN
+    under `tcn.` plus the 1x1 `output` Conv1d head."""
+    return {
+        "tcn": port_tcn(sd, n_blocks, prefix="tcn."),
+        "output": {
+            "kernel": linear_kernel(sd["output.weight"][:, :, 0]),
+            "bias": sd["output.bias"],
+        },
+    }
