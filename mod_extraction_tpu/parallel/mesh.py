@@ -11,6 +11,16 @@ Replaces the reference's DDP/NCCL setup (`cli.py:48`,
 
 On-device data rendering (train/render.py) is sharded WITH the batch, so
 synthesis throughput scales linearly with chip count.
+
+Multi-host scaling note: the same code runs unchanged on multi-host
+slices — `jax.devices()` returns the global device list under
+`jax.distributed.initialize()`, the mesh spans hosts, and XLA routes the
+gradient all-reduce over ICI within a slice (DCN across slices).  The
+only host-side change needed is per-host batch feeding: give each host
+its shard of the global batch (`jax.make_array_from_process_local_data`
+instead of `device_put`).  Since every model here is <1M params, the
+data axis is the only axis worth sharding at any scale the reference
+targets (SURVEY.md §2.4, §5.8).
 """
 
 from __future__ import annotations
