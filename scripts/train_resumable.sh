@@ -5,11 +5,15 @@
 # every step until the kernel OOM-kills long runs); on healthy hosts it
 # is equivalent to one long run.
 #
-# Usage: scripts/train_resumable.sh <config> [total_epochs] [epochs_per_proc]
+# Usage: scripts/train_resumable.sh <config> [total_epochs] [epochs_per_proc] [start_epoch]
+# `start_epoch` skips the no-op chunks when continuing an existing run
+# (each chunk process pays startup + checkpoint-restore even with no
+# epochs left to train).
 set -e
-CFG=${1:?usage: train_resumable.sh <config> [total_epochs] [epochs_per_proc]}
+CFG=${1:?usage: train_resumable.sh <config> [total_epochs] [epochs_per_proc] [start_epoch]}
 TOTAL=${2:-400}
 CHUNK=${3:-8}
-for ((e = CHUNK; e <= TOTAL; e += CHUNK)); do
+START=${4:-0}
+for ((e = START + CHUNK; e <= TOTAL; e += CHUNK)); do
   python -c "from mod_extraction_tpu.cli import fit; fit('$CFG', resume=True, max_epochs=$e)"
 done
