@@ -2,9 +2,12 @@
 analog of regenerating the reference's golden `eval/*.txt` files
 (SURVEY.md §4: the archived tables ARE the de-facto regression suite).
 
-Usage: python scripts/run_eval_grid.py [out_dir] [config ...]
-Writes one `<config_name>.txt` per eval config; failures are recorded
-in the file instead of aborting the grid.
+Usage: python scripts/run_eval_grid.py [--per-shape] [out_dir] [config ...]
+Writes one `<config_name>.txt` per eval config; failures are recorded in
+the file instead of aborting the grid.  `--per-shape` additionally runs
+LFO-shape sweeps for configs whose fx_config pins a mod_sig shape list,
+appending one labeled sub-table per shape (the reference's eval_lfo.txt
+layout: per-shape tables plus the all-shapes table).
 """
 
 import os
@@ -25,22 +28,64 @@ DEFAULT_GRID = [
     "eval_em_unseen_effect.yml",
 ]
 
+def _shape_variants(cfg):
+    """Yield (label, cfg) per pinned LFO shape + the all-shapes run."""
+    import copy
+
+    ms = (
+        cfg.get("data", {})
+        .get("init_args", {})
+        .get("fx_config", {})
+        .get("mod_sig", {})
+    )
+    shapes = ms.get("shapes")
+    if not shapes:
+        yield "", cfg
+        return
+    for shape in shapes:
+        c = copy.deepcopy(cfg)
+        c["data"]["init_args"]["fx_config"]["mod_sig"]["shapes"] = [shape]
+        yield shape, c
+    yield "all", cfg
+
+
 if __name__ == "__main__":
-    from mod_extraction_tpu.cli import validate
+    import tempfile
+
+    import yaml
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes, validate
     from mod_extraction_tpu.evaluation.tables import format_validate_table
     from mod_extraction_tpu.paths import ensure_dir
 
-    out_dir = ensure_dir(sys.argv[1] if len(sys.argv) > 1 else "out/eval")
-    grid = sys.argv[2:] or DEFAULT_GRID
+    args = [a for a in sys.argv[1:] if a != "--per-shape"]
+    per_shape = "--per-shape" in sys.argv[1:]
+    out_dir = ensure_dir(args[0] if args else "out/eval")
+    grid = args[1:] or DEFAULT_GRID
     for name in grid:
-        target = os.path.join(out_dir, os.path.splitext(os.path.basename(name))[0] + ".txt")
+        target = os.path.join(
+            out_dir, os.path.splitext(os.path.basename(name))[0] + ".txt"
+        )
         print(f"=== {name} -> {target}")
+        blocks = []
         try:
-            metrics = validate(name)
-            table = format_validate_table(
-                {f"val/{k}": v for k, v in metrics.items()}
+            cfg = load_yaml_with_includes(name)
+            variants = (
+                list(_shape_variants(cfg)) if per_shape else [("", cfg)]
             )
+            for label, vcfg in variants:
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".yml", delete=False
+                ) as f:
+                    yaml.safe_dump(vcfg, f)
+                    tmp = f.name
+                metrics = validate(tmp)
+                os.unlink(tmp)
+                table = format_validate_table(
+                    {f"val/{k}": v for k, v in metrics.items()}
+                )
+                blocks.append(f"{table}\n{label}\n" if label else table)
         except Exception:
-            table = f"FAILED:\n{traceback.format_exc()}"
+            blocks.append(f"FAILED:\n{traceback.format_exc()}")
         with open(target, "w") as f:
-            f.write(table + "\n")
+            f.write("\n".join(blocks) + "\n")
