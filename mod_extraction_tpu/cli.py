@@ -324,6 +324,16 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         max_epochs: Optional[int] = None):
     cfg = load_yaml_with_includes(config_path)
     run = RunConfig(cfg)
+    custom = run.raw.get("custom") or {}
+    # `custom.init_weights_path`: warm-start a fresh run from a bare
+    # models/*.npz (or reference .pt) export — e.g. continuing a training
+    # whose out/ checkpoint dir was cleaned.  `resume` still wins.
+    warm_start = None
+    init_wp = custom.get("init_weights_path")
+    if init_wp and isinstance(run.task, LFOExtractionTask):
+        warm_start = _load_lfo_weights(
+            run.task.model, init_wp, 2, run.data_module.render_cfg.n_samples
+        )
     trainer = Trainer(
         run.task,
         run.data_module,
@@ -334,7 +344,8 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         resume=resume,
         media_callback=_media_callback_for(run),
         lr=run.lr,
-        profile_dir=(run.raw.get("custom") or {}).get("profile_dir"),
+        profile_dir=custom.get("profile_dir"),
+        warm_start_params=warm_start,
     )
     return trainer.fit()
 

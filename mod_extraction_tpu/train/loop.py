@@ -68,6 +68,7 @@ class Trainer:
         lr: Optional[float] = None,
         profile_dir: Optional[str] = None,
         check_finite: bool = True,
+        warm_start_params: Optional[Any] = None,
     ) -> None:
         self.task = task
         self.dm = data_module
@@ -90,21 +91,27 @@ class Trainer:
         # NaN/Inf guard (SURVEY §5.2): metrics reach the host anyway, so
         # checking them is free; fail fast instead of training on NaNs
         self.check_finite = check_finite
+        # bare-weights warm start (used when a run continues from an
+        # exported models/*.npz after its out/ checkpoint dir is gone);
+        # a restorable `last` checkpoint always takes precedence
+        self.warm_start_params = warm_start_params
 
     def fit(self) -> Any:
         self.dm.setup("fit")
         key = jax.random.PRNGKey(self.seed)
         state = self.task.init_state(key)
         start_epoch = 0
-        if self.resume:
-            restored = self.ckpts.restore("last", state)
-            if restored is not None:
-                state = restored
-                meta_path = os.path.join(self.ckpts.ckpt_dir, "last.json")
-                if os.path.isfile(meta_path):
-                    with open(meta_path) as f:
-                        start_epoch = json.load(f).get("epoch", -1) + 1
-                log.info("Resumed from epoch %d", start_epoch)
+        restored = self.ckpts.restore("last", state) if self.resume else None
+        if restored is not None:
+            state = restored
+            meta_path = os.path.join(self.ckpts.ckpt_dir, "last.json")
+            if os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    start_epoch = json.load(f).get("epoch", -1) + 1
+            log.info("Resumed from epoch %d", start_epoch)
+        elif self.warm_start_params is not None:
+            state = state.replace(params=self.warm_start_params)
+            log.info("Warm-started params (fresh optimizer state)")
 
         train_loader = self.dm.train_loader()
         val_loader = self.dm.val_loader()
