@@ -1,14 +1,23 @@
-"""Render a self-contained "unseen effect" dry/wet corpus with the
-on-device kernels — a stand-in for the reference's Melda/Ableton export
-step (its README step 11) that needs no external plugins or datasets.
+"""Render self-contained "unseen effect" dry/wet corpora with the
+on-device kernels — a stand-in for the reference's EGFx / Melda /
+Ableton export steps (its README steps 4/11) that needs no external
+plugins or datasets.
 
-The effect is a fixed-character chorus driven by a triangle LFO in a
-narrow rate band; the stage-2 TBPTT task then has to model it black-box
-from dry/wet pairs, exactly like the Melda experiments.
+Each corpus is one fixed-character effect in a narrow LFO regime; the
+stage-2 TBPTT task then has to model it black-box from dry/wet pairs,
+exactly like the EGFx/Melda experiments (`eval_em_unseen_effect.txt`):
+
+  sim_chorus     — triangle LFO 1.6-1.9 Hz, chorus delay regime
+                   (the reference's melda_fl_quasi analog uses tri
+                   1.5-2.5 Hz, `configs/models/baseline_melda_quasi.yml`)
+  sim_flanger    — QUASIPERIODIC triangle 1.0-1.5 Hz, flanger regime
+                   with strong feedback (the "quasi" Melda variant)
+  sim_phaser     — cos 0.56-0.94 Hz allpass-cascade phaser (the
+                   "irregular" Melda band, `baseline_melda_irregular.yml`)
 
 Usage:
-  python scripts/make_sim_effect_data.py <src_wav_dir_train> <src_wav_dir_val> [out_root]
-Defaults: data/idmt_4/{train,val} -> data/sim_chorus/
+  python scripts/make_sim_effect_data.py [effect ...] [--src-train D] [--src-val D] [--out-root D]
+Defaults: all three effects, data/idmt_4/{train,val} -> data/<effect>/
 """
 
 import os
@@ -18,47 +27,97 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-if __name__ == "__main__":
+SR = 44100
+SEG = int(2.5 * SR)
+
+
+def _load_dry(rng, src_dir: str, n_pairs: int) -> np.ndarray:
+    from mod_extraction_tpu.data.wav import wav_read
+
+    files = sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".wav")
+    )
+    drys = []
+    for i in range(n_pairs):
+        a, file_sr = wav_read(files[i % len(files)])
+        assert file_sr == SR, f"expected {SR} Hz, got {file_sr}"
+        start = int(rng.integers(0, a.shape[-1] - SEG + 1))
+        drys.append(a[0, start : start + SEG])
+    return np.stack(drys)[:, None, :]
+
+
+def _render(effect: str, rng, dry: np.ndarray):
     import jax.numpy as jnp
 
-    from mod_extraction_tpu.data.wav import wav_read, wav_write
-    from mod_extraction_tpu.ops.fx import apply_flanger_chorus
+    from mod_extraction_tpu.data.mods import make_quasi_periodic, np_make_mod_signal
+    from mod_extraction_tpu.ops.fx import apply_flanger_chorus, apply_phaser
     from mod_extraction_tpu.ops.lfo import make_mod_signal_batch, shape_to_idx
 
-    src_train = sys.argv[1] if len(sys.argv) > 1 else "data/idmt_4/train"
-    src_val = sys.argv[2] if len(sys.argv) > 2 else "data/idmt_4/val"
-    out_root = sys.argv[3] if len(sys.argv) > 3 else "data/sim_chorus"
-    sr, seg = 44100, int(2.5 * 44100)
-    rng = np.random.default_rng(7)
-
-    for split, src_dir, n_pairs in (("train", src_train, 24), ("val", src_val, 8)):
-        files = sorted(
-            os.path.join(src_dir, f)
-            for f in os.listdir(src_dir)
-            if f.endswith(".wav")
-        )
-        dry_dir = os.path.join(out_root, split, "dry")
-        wet_dir = os.path.join(out_root, split, "wet")
-        os.makedirs(dry_dir, exist_ok=True)
-        os.makedirs(wet_dir, exist_ok=True)
-        drys = []
-        for i in range(n_pairs):
-            a, file_sr = wav_read(files[i % len(files)])
-            assert file_sr == sr, f"expected {sr} Hz, got {file_sr}"
-            start = int(rng.integers(0, a.shape[-1] - seg + 1))
-            drys.append(a[0, start : start + seg])
-        dry = jnp.asarray(np.stack(drys))[:, None, :]
+    n_pairs = dry.shape[0]
+    x = jnp.asarray(dry)
+    if effect == "sim_chorus":
         freq = jnp.asarray(rng.uniform(1.6, 1.9, n_pairs).astype(np.float32))
         phase = jnp.asarray(rng.uniform(0, 2 * np.pi, n_pairs).astype(np.float32))
         mod = make_mod_signal_batch(
-            seg, sr, freq, phase, jnp.full(n_pairs, shape_to_idx("tri"))
+            SEG, SR, freq, phase, jnp.full(n_pairs, shape_to_idx("tri"))
         )
-        wet = apply_flanger_chorus(
-            dry, mod, sr, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
+        return apply_flanger_chorus(
+            x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
             feedback=0.4, min_delay_width=0.6, width=0.8, depth=0.9, mix=0.9,
         )
-        dry_np, wet_np = np.asarray(dry), np.asarray(wet)
-        for i in range(n_pairs):
-            wav_write(os.path.join(dry_dir, f"pair_{i:02d}.wav"), dry_np[i], sr)
-            wav_write(os.path.join(wet_dir, f"pair_{i:02d}.wav"), wet_np[i], sr)
-        print(f"{split}: {n_pairs} dry/wet pairs -> {out_root}/{split}")
+    if effect == "sim_flanger":
+        mods = []
+        for _ in range(n_pairs):
+            m = np_make_mod_signal(
+                SEG, SR, float(rng.uniform(1.0, 1.5)),
+                float(rng.uniform(0, 2 * np.pi)), "tri",
+            )
+            mods.append(make_quasi_periodic(rng, m))
+        mod = jnp.asarray(np.stack(mods).astype(np.float32))
+        return apply_flanger_chorus(
+            x, mod, SR, max_min_delay_ms=1.0, max_lfo_delay_ms=10.0,
+            feedback=0.6, min_delay_width=0.2, width=0.9, depth=1.0, mix=0.8,
+        )
+    if effect == "sim_phaser":
+        rate = jnp.asarray(rng.uniform(0.5625, 0.9375, n_pairs).astype(np.float32))
+        phase = jnp.asarray(rng.uniform(0, 2 * np.pi, n_pairs).astype(np.float32))
+        wet, _ = apply_phaser(
+            x, SR, rate_hz=rate, depth=0.9, centre_frequency_hz=900.0,
+            feedback=0.5, mix=0.9, phase=phase,
+        )
+        return wet
+    raise SystemExit(f"unknown effect: {effect}")
+
+
+def main(argv) -> None:
+    from mod_extraction_tpu.data.wav import wav_write
+
+    def opt(name, default):
+        return argv[argv.index(name) + 1] if name in argv else default
+
+    src_train = opt("--src-train", "data/idmt_4/train")
+    src_val = opt("--src-val", "data/idmt_4/val")
+    out_root = opt("--out-root", "data")
+    effects = [a for a in argv if not a.startswith("--") and a in
+               ("sim_chorus", "sim_flanger", "sim_phaser")]
+    effects = effects or ["sim_chorus", "sim_flanger", "sim_phaser"]
+
+    for e_i, effect in enumerate(effects):
+        rng = np.random.default_rng(7 + e_i)
+        for split, src_dir, n_pairs in (
+            ("train", src_train, 24), ("val", src_val, 8),
+        ):
+            dry = _load_dry(rng, src_dir, n_pairs)
+            wet = np.asarray(_render(effect, rng, dry))
+            dry_dir = os.path.join(out_root, effect, split, "dry")
+            wet_dir = os.path.join(out_root, effect, split, "wet")
+            os.makedirs(dry_dir, exist_ok=True)
+            os.makedirs(wet_dir, exist_ok=True)
+            for i in range(n_pairs):
+                wav_write(os.path.join(dry_dir, f"pair_{i:02d}.wav"), dry[i], SR)
+                wav_write(os.path.join(wet_dir, f"pair_{i:02d}.wav"), wet[i], SR)
+            print(f"{effect}/{split}: {n_pairs} dry/wet pairs -> {out_root}/{effect}/{split}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

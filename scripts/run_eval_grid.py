@@ -2,12 +2,16 @@
 analog of regenerating the reference's golden `eval/*.txt` files
 (SURVEY.md §4: the archived tables ARE the de-facto regression suite).
 
-Usage: python scripts/run_eval_grid.py [--per-shape] [out_dir] [config ...]
+Usage: python scripts/run_eval_grid.py [--per-shape] [--em-sim] [out_dir] [config ...]
 Writes one `<config_name>.txt` per eval config; failures are recorded in
 the file instead of aborting the grid.  `--per-shape` additionally runs
 LFO-shape sweeps for configs whose fx_config pins a mod_sig shape list,
 appending one labeled sub-table per shape (the reference's eval_lfo.txt
-layout: per-shape tables plus the all-shapes table).
+layout: per-shape tables plus the all-shapes table).  `--em-sim` runs
+the effect-model suite over the device-rendered sim corpora instead:
+per effect, the extractor-driven LSTM-64 table then the random-LFO
+baseline table, label after its tables (the reference's
+eval_em_unseen_effect.txt layout).
 """
 
 import os
@@ -49,6 +53,42 @@ def _shape_variants(cfg):
     yield "all", cfg
 
 
+# (effect, baseline lfo_model config) for the --em-sim suite; bands per
+# scripts/make_sim_effect_data.py
+EM_SIM_EFFECTS = [
+    ("sim_chorus", "configs/models/baseline_sim_chorus.yml"),
+    ("sim_flanger", "configs/models/baseline_sim_flanger.yml"),
+    ("sim_phaser", "configs/models/baseline_melda_irregular.yml"),
+]
+
+
+def _em_sim_variants(base_cfg):
+    """Yield (label, cfg) pairs: per effect, the extractor-driven LSTM
+    then the random-LFO baseline (reference eval_em_unseen_effect.txt:
+    two tables per label, label following its tables)."""
+    import copy
+
+    for effect, baseline_model in EM_SIM_EFFECTS:
+        for kind in ("lstm", "rand"):
+            c = copy.deepcopy(base_cfg)
+            da = c["data"]["init_args"]
+            for k in ("dry_train_dir", "dry_val_dir"):
+                da[k] = f"data/{effect}/val/dry"
+            for k in ("wet_train_dir", "wet_val_dir"):
+                da[k] = f"data/{effect}/val/wet"
+            ma = c["model"]["init_args"]
+            if kind == "lstm":
+                c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r1__{effect}.npz"
+            else:
+                c["ckpt_path"] = f"models/rand_tri_band__{effect}.npz"
+                ma["lfo_model"] = baseline_model
+                ma.pop("lfo_model_weights_path", None)
+                ma["model_smooth_n_frames"] = 0
+                ma["should_stretch"] = False
+                ma["discard_invalid_lfos"] = False
+            yield f"{effect}__{kind}", c
+
+
 if __name__ == "__main__":
     import tempfile
 
@@ -58,10 +98,11 @@ if __name__ == "__main__":
     from mod_extraction_tpu.evaluation.tables import format_validate_table
     from mod_extraction_tpu.paths import ensure_dir
 
-    args = [a for a in sys.argv[1:] if a != "--per-shape"]
+    args = [a for a in sys.argv[1:] if a not in ("--per-shape", "--em-sim")]
     per_shape = "--per-shape" in sys.argv[1:]
+    em_sim = "--em-sim" in sys.argv[1:]
     out_dir = ensure_dir(args[0] if args else "out/eval")
-    grid = args[1:] or DEFAULT_GRID
+    grid = args[1:] or (["eval_em_sim.yml"] if em_sim else DEFAULT_GRID)
     for name in grid:
         target = os.path.join(
             out_dir, os.path.splitext(os.path.basename(name))[0] + ".txt"
@@ -70,9 +111,12 @@ if __name__ == "__main__":
         blocks = []
         try:
             cfg = load_yaml_with_includes(name)
-            variants = (
-                list(_shape_variants(cfg)) if per_shape else [("", cfg)]
-            )
+            if em_sim:
+                variants = list(_em_sim_variants(cfg))
+            elif per_shape:
+                variants = list(_shape_variants(cfg))
+            else:
+                variants = [("", cfg)]
             for label, vcfg in variants:
                 with tempfile.NamedTemporaryFile(
                     "w", suffix=".yml", delete=False
