@@ -27,11 +27,18 @@ from mod_extraction_tpu.train.checkpoints import CheckpointManager
 log = logging.getLogger(__name__)
 
 
-def _mean_metrics(acc: list[Dict[str, float]]) -> Dict[str, float]:
+def _mean_metrics(acc: list[Dict[str, Any]]) -> Dict[str, float]:
+    """Mean over per-step metric dicts.
+
+    Values may be live device scalars — sum on device first so the epoch
+    costs ONE host pull per key instead of one per step (each pull is a
+    full tunnel round trip on remote-TPU hosts)."""
     if not acc:
         return {}
-    keys = acc[0].keys()
-    return {k: float(np.mean([m[k] for m in acc])) for k in keys}
+    sums = acc[0]
+    for m in acc[1:]:
+        sums = {k: sums[k] + m[k] for k in sums}
+    return {k: float(v) / len(acc) for k, v in sums.items()}
 
 
 class MetricLogger:
@@ -131,19 +138,23 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
                 step_key = jax.random.fold_in(key, global_step)
                 state, metrics = self.task.train_step(state, batch, step_key)
-                train_acc.append({k: float(v) for k, v in metrics.items()})
-                if self.check_finite and not np.isfinite(
-                    train_acc[-1].get("loss", 0.0)
-                ):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {global_step}: {train_acc[-1]}"
-                    )
+                # keep metrics as device scalars — pulling them here would
+                # block on this step and serialize the pipeline; they are
+                # materialized at log points and at the epoch mean
+                train_acc.append(metrics)
                 global_step += 1
                 if self._profiling and global_step >= 15:
                     jax.profiler.stop_trace()
                     self._profiling = False
                     self.profile_dir = None
                 if global_step % self.log_every_n_steps == 0:
+                    last = {k: float(v) for k, v in train_acc[-1].items()}
+                    if self.check_finite and not np.isfinite(
+                        last.get("loss", 0.0)
+                    ):
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step}: {last}"
+                        )
                     dt = time.time() - t_step
                     payload = {
                         "phase": "train_step",
@@ -151,7 +162,7 @@ class Trainer:
                         "audio_sec_per_sec": self.log_every_n_steps
                         * audio_sec_per_batch
                         / dt,
-                        **train_acc[-1],
+                        **last,
                     }
                     if self.lr is not None:
                         payload["lr"] = self.lr
@@ -185,7 +196,7 @@ class Trainer:
         for i, batch in enumerate(val_loader.epoch(epoch)):
             batch = shard_batch(batch, self.mesh)
             metrics = self.task.val_step(params, batch, jax.random.fold_in(key, i))
-            acc.append({k: float(v) for k, v in metrics.items()})
+            acc.append(metrics)  # device scalars; materialized in the mean
             if i == 0 and self.media_callback is not None:
                 self.media_callback(self, params, batch, epoch)
         return _mean_metrics(acc)
