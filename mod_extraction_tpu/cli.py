@@ -400,7 +400,9 @@ def validate(config_path: str, out_dir: str = "out",
 
         run.data_module.setup("validate")
         batch = next(run.data_module.val_loader().epoch(0))
-        dry, wet, _, fx = render_batch(batch, run.task.render_cfg)
+        dry, wet, _, fx = render_batch(
+            batch, run.task.render_cfg, getattr(run.task, "corpus", None)
+        )
         params = state.params if hasattr(state, "params") else state
         _, latent = run.task._extract(
             params, dry, wet, fx, jax.random.PRNGKey(0), train=False

@@ -259,13 +259,39 @@ class RandomAudioChunkDataset:
             else audio
         )
 
-    def getitem(self, epoch: int, idx: int) -> Dict[str, Any]:
-        rng = self._rng(epoch, idx)
-        chunk, _, _, _ = self.search_dataset_for_audio_chunk(
+    # device-resident corpus mode (data/corpus.py): attached by the data
+    # module; when set, items carry chunk OFFSETS instead of samples
+    corpus_index = None
+
+    def corpus_paths(self) -> list:
+        """Files the device corpus must hold for this dataset."""
+        return list(self.input_paths)
+
+    def _norm_gain(self, chunk: np.ndarray) -> float:
+        """Peak-norm as a scalar gain (applied on device after gather)."""
+        if not self.should_peak_norm:
+            return 1.0
+        peak = float(np.abs(chunk).max())
+        if peak == 0:
+            return 1.0
+        return 10.0 ** (self.peak_norm_db / 20.0) / peak
+
+    def _dry_fields(self, rng) -> Dict[str, Any]:
+        """Draw a chunk; emit either the audio or its corpus offset."""
+        chunk, path, ch, start = self.search_dataset_for_audio_chunk(
             rng, self.n_samples, self.end_buffer_n_samples
         )
+        if self.corpus_index is None:
+            return {"dry": self._maybe_norm(chunk)}
         return {
-            "dry": self._maybe_norm(chunk),
+            "dry_idx": np.int32(self.corpus_index.global_index(path, ch, start)),
+            "dry_gain": np.float32(self._norm_gain(chunk)),
+        }
+
+    def getitem(self, epoch: int, idx: int) -> Dict[str, Any]:
+        rng = self._rng(epoch, idx)
+        return {
+            **self._dry_fields(rng),
             "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
             "fx": default_fx(),
         }
@@ -295,6 +321,9 @@ class RandomAudioChunkDryWetDataset(RandomAudioChunkDataset):
         log.info("Found %d dry/wet pairs", len(dry_paths))
         self.input_paths = sorted(dry_paths)
 
+    def corpus_paths(self) -> list:
+        return list(self.input_paths) + sorted(self.name_to_wet.values())
+
     def getitem(self, epoch: int, idx: int) -> Dict[str, Any]:
         rng = self._rng(epoch, idx)
         dry, path, ch_idx, start = self.search_dataset_for_audio_chunk(
@@ -304,11 +333,23 @@ class RandomAudioChunkDryWetDataset(RandomAudioChunkDataset):
         wet, _ = wav_read(wet_path, start, self.n_samples)
         if wet.shape[0] > 1:
             wet = wet[ch_idx : ch_idx + 1]
+        base = {
+            "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
+            "fx": default_fx(),
+        }
+        if self.corpus_index is not None:
+            gi = self.corpus_index.global_index
+            return {
+                "dry_idx": np.int32(gi(path, ch_idx, start)),
+                "dry_gain": np.float32(self._norm_gain(dry)),
+                "wet_idx": np.int32(gi(wet_path, ch_idx, start)),
+                "wet_gain": np.float32(self._norm_gain(wet)),
+                **base,
+            }
         return {
             "dry": self._maybe_norm(dry),
             "wet": self._maybe_norm(wet),
-            "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
-            "fx": default_fx(),
+            **base,
         }
 
 
@@ -350,12 +391,10 @@ class RandomAudioChunkAndModSigDataset(RandomAudioChunkDataset):
 
     def getitem(self, epoch: int, idx: int) -> Dict[str, Any]:
         rng = self._rng(epoch, idx)
-        chunk, _, _, _ = self.search_dataset_for_audio_chunk(
-            rng, self.n_samples, self.end_buffer_n_samples
-        )
+        dry_fields = self._dry_fields(rng)
         mod, fx = self._sample_mod_sig(rng)
         return {
-            "dry": self._maybe_norm(chunk),
+            **dry_fields,
             "mod_sig": mod,
             "fx": fx,
         }
@@ -378,9 +417,7 @@ class PhaserDataset(RandomAudioChunkAndModSigDataset):
 
     def getitem(self, epoch: int, idx: int) -> Dict[str, Any]:
         rng = self._rng(epoch, idx)
-        chunk, _, _, _ = self.search_dataset_for_audio_chunk(
-            rng, self.n_samples, self.end_buffer_n_samples
-        )
+        dry_fields = self._dry_fields(rng)
         r = self.fx_config["pedalboard_phaser"]
         fx = default_fx()
         fx.update(
@@ -396,7 +433,7 @@ class PhaserDataset(RandomAudioChunkAndModSigDataset):
             shape=mods.LFO_SHAPES.index("cos"),
         )
         return {
-            "dry": self._maybe_norm(chunk),
+            **dry_fields,
             "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
             "fx": fx,
         }

@@ -35,11 +35,19 @@ def collate(
         return a
 
     batch = {
-        "dry": audio("dry"),
         "mod_sig": np.stack([it["mod_sig"] for it in items]).astype(np.float32),
     }
-    if "wet" in items[0]:  # absent for render-on-device datasets
-        batch["wet"] = audio("wet")
+    # device-resident corpus mode (data/corpus.py): offsets, no audio
+    for side in ("dry", "wet"):
+        if f"{side}_idx" in items[0]:
+            batch[f"{side}_idx"] = np.asarray(
+                [it[f"{side}_idx"] for it in items], np.int32
+            )
+            batch[f"{side}_gain"] = np.asarray(
+                [it[f"{side}_gain"] for it in items], np.float32
+            )
+        elif side in items[0]:  # "wet" is absent for render-on-device sets
+            batch[side] = audio(side)
     fx: Dict[str, np.ndarray] = {}
     for k in FX_FLOAT_KEYS:
         fx[k] = np.asarray([it["fx"].get(k, 0.0) for it in items], np.float32)

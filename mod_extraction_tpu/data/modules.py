@@ -52,12 +52,17 @@ class BaseDataModule:
     """Shared loader plumbing (reference `data_modules.py:67-83`)."""
 
     def __init__(self, batch_size: int, num_workers: int = 4, seed: int = 0,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32", device_corpus: bool = False):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
         # "int16" halves host->device audio traffic (exact for PCM16 wavs)
         self.transfer_dtype = transfer_dtype
+        # upload ALL audio to HBM once, batches carry chunk offsets only
+        # (data/corpus.py) — eliminates per-step audio transfer entirely
+        self.device_corpus = device_corpus
+        self._corpus_index = None
+        self._corpus_array = None
         self.train_dataset = None
         self.val_dataset = None
 
@@ -66,6 +71,37 @@ class BaseDataModule:
 
     def setup(self, stage: str = "fit") -> None:
         raise NotImplementedError
+
+    def _chunk_datasets(self) -> list:
+        out = []
+        for ds in (self.train_dataset, self.val_dataset):
+            if ds is None:
+                continue
+            subs = getattr(ds, "datasets", None)  # interwoven
+            for d in subs if subs is not None else [ds]:
+                if hasattr(d, "corpus_paths"):
+                    out.append(d)
+        return out
+
+    def corpus_payload(self):
+        """Build the flat int16 corpus (once) and attach its index to
+        every chunk dataset; None unless `device_corpus: true`.
+
+        Call AFTER setup() and BEFORE iterating loaders — the Trainer
+        does this and device_puts the array replicated on the mesh."""
+        if not self.device_corpus:
+            return None
+        from mod_extraction_tpu.data.corpus import CorpusIndex
+
+        dsets = self._chunk_datasets()
+        assert dsets, "device_corpus: no chunk datasets (call setup() first)"
+        paths = sorted({p for d in dsets for p in d.corpus_paths()})
+        if self._corpus_index is None or sorted(self._corpus_index.base) != paths:
+            self._corpus_index = CorpusIndex(paths)
+            self._corpus_array = self._corpus_index.build_array()
+        for d in dsets:
+            d.corpus_index = self._corpus_index
+        return self._corpus_array
 
     def train_loader(self) -> Loader:
         assert self.train_dataset is not None, "call setup('fit') first"
@@ -117,8 +153,9 @@ class RandomAudioChunkDataModule(BaseDataModule):
         fx_config: Optional[Dict[str, Any]] = None,
         seed: int = 0,
         transfer_dtype: str = "float32",
+        device_corpus: bool = False,
     ) -> None:
-        super().__init__(batch_size, num_workers, seed, transfer_dtype)
+        super().__init__(batch_size, num_workers, seed, transfer_dtype, device_corpus)
         self.train_dir = train_dir
         self.val_dir = val_dir
         self.train_num = train_num_examples_per_epoch
@@ -271,8 +308,9 @@ class InterwovenDataModule(BaseDataModule):
         num_workers: int = 4,
         seed: int = 0,
         transfer_dtype: str = "float32",
+        device_corpus: bool = False,
     ) -> None:
-        super().__init__(batch_size, num_workers, seed, transfer_dtype)
+        super().__init__(batch_size, num_workers, seed, transfer_dtype, device_corpus)
         self.train_dataset_args = train_dataset_args
         self.val_dataset_args = val_dataset_args
         self.shared_train_args = dict(shared_train_args or {})

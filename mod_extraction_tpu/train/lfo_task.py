@@ -63,6 +63,12 @@ class LFOExtractionTask:
     stretch_smooth_n_frames: int = 0
     sub_batch_size: Optional[int] = None
     loss_dict: Optional[Dict[str, float]] = None
+    # device-resident audio corpus (data/corpus.py); captured by the
+    # jitted steps at trace time — attach via set_corpus BEFORE stepping
+    corpus: Optional[Any] = None
+
+    def set_corpus(self, corpus) -> None:
+        self.corpus = corpus
 
     def __post_init__(self):
         self.losses = WeightedLossDict(self.loss_dict)
@@ -121,7 +127,7 @@ class LFOExtractionTask:
 
     def _loss_fn(self, params, batch, key, train: bool):
         k_render, k_mask, k_rand = jax.random.split(key, 3)
-        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg)
+        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg, self.corpus)
         mod_hat, _ = self._extract(params, dry, wet, fx, k_mask, train)
         mod_hat, mod_gt = self._postprocess(mod_hat, mod_frames)
         loss, metrics = self.losses(mod_hat, mod_gt)

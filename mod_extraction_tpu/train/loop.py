@@ -103,8 +103,20 @@ class Trainer:
         # a restorable `last` checkpoint always takes precedence
         self.warm_start_params = warm_start_params
 
+    def _attach_corpus(self) -> None:
+        """Device-resident corpus (data/corpus.py): upload once, replicated
+        on the mesh, captured by the jitted steps at trace time."""
+        payload = getattr(self.dm, "corpus_payload", lambda: None)()
+        if payload is not None:
+            from mod_extraction_tpu.parallel.mesh import replicated_sharding
+
+            self.task.set_corpus(
+                jax.device_put(payload, replicated_sharding(self.mesh))
+            )
+
     def fit(self) -> Any:
         self.dm.setup("fit")
+        self._attach_corpus()
         key = jax.random.PRNGKey(self.seed)
         state = self.task.init_state(key)
         start_epoch = 0
@@ -189,6 +201,7 @@ class Trainer:
     def validate(self, state, val_loader=None, epoch: int = 0) -> Dict[str, float]:
         if val_loader is None:
             self.dm.setup("validate")
+            self._attach_corpus()
             val_loader = self.dm.val_loader()
         key = jax.random.PRNGKey(self.seed + 1)
         acc = []

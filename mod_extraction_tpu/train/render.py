@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from mod_extraction_tpu.data.datasets import (
@@ -54,21 +55,35 @@ class RenderConfig:
 
 
 def render_batch(
-    batch: Dict, cfg: RenderConfig
+    batch: Dict, cfg: RenderConfig, corpus: jnp.ndarray | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
     """(dry, wet, mod_sig_frames, fx) fully rendered, all on device.
 
     Batches from render-on-device datasets omit "wet" (it exists only as
     the kernels' output) — shipping a zeros placeholder from host would
-    double the per-step host->device transfer for nothing."""
+    double the per-step host->device transfer for nothing.  Batches from
+    device-corpus datasets (data/corpus.py) carry `dry_idx` offsets
+    instead of audio; the chunks are gathered from `corpus` here."""
     def dequant(a):
         a = jnp.asarray(a)
         if a.dtype == jnp.int16:  # compact wire format (loader int16 mode)
             return a.astype(jnp.float32) / 32768.0
         return a
 
-    dry = dequant(batch["dry"])
-    wet = dequant(batch["wet"]) if "wet" in batch else jnp.zeros_like(dry)
+    def gather(side):
+        assert corpus is not None, f"batch carries {side}_idx but no corpus set"
+        chunks = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(corpus, (i,), (cfg.n_samples,))
+        )(jnp.asarray(batch[f"{side}_idx"]))
+        return dequant(chunks)[:, None, :] * batch[f"{side}_gain"][:, None, None]
+
+    dry = gather("dry") if "dry_idx" in batch else dequant(batch["dry"])
+    if "wet_idx" in batch:
+        wet = gather("wet")
+    elif "wet" in batch:
+        wet = dequant(batch["wet"])
+    else:
+        wet = jnp.zeros_like(dry)
     mod_frames = jnp.asarray(batch["mod_sig"])
     fx = {k: jnp.asarray(v) for k, v in batch["fx"].items()}
     eff = fx["effect_idx"]

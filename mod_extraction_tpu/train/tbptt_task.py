@@ -75,6 +75,12 @@ class TBPTTEffectModelingTask:
     # val): "auto" uses the fused Pallas kernel on TPU.  Gradient chunks
     # always use the scan (autodiff applies there).
     lstm_impl: str = "auto"
+    # device-resident audio corpus (data/corpus.py); captured by the
+    # jitted steps at trace time — attach via set_corpus BEFORE stepping
+    corpus: Optional[Any] = None
+
+    def set_corpus(self, corpus) -> None:
+        self.corpus = corpus
 
     def __post_init__(self):
         if self.loss_dict is None:
@@ -218,7 +224,9 @@ class TBPTTEffectModelingTask:
         Returns (dry, wet, mod_sr, mod_hat, mod, weights, extras) where
         extras = (dry_full, wet_full, mod_frames, fx) — the uncropped
         tensors the unfrozen-extractor path re-extracts from."""
-        dry_full, wet_full, mod_frames, fx = render_batch(batch, self.render_cfg)
+        dry_full, wet_full, mod_frames, fx = render_batch(
+            batch, self.render_cfg, self.corpus
+        )
         t = dry_full.shape[-1]
         assert t >= self.warmup_n_samples + self.step_n_samples
 

@@ -39,13 +39,14 @@ if __name__ == "__main__":
         args["train_num_examples_per_epoch"] = n_examples
     dm = dm_cls(**_filter_kwargs(dm_cls, args))
     dm.setup("fit")
+    corpus = dm.corpus_payload()  # None unless device_corpus: true
     os.makedirs(out_dir, exist_ok=True)
 
     loader = Loader(dm.train_dataset, dm.batch_size, seed=int(cfg.get("seed_everything", 42)))
     sr = int(dm.render_cfg.sr)
     count = 0
     for batch in loader.epoch(0):
-        dry, wet, mod, fx = render_batch(batch, dm.render_cfg)
+        dry, wet, mod, fx = render_batch(batch, dm.render_cfg, corpus)
         dry, wet, mod = (np.asarray(a) for a in (dry, wet, mod))
         fx_np = {k: np.asarray(v) for k, v in fx.items()}
         for i in range(dry.shape[0]):
