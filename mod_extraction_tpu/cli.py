@@ -27,7 +27,7 @@ import inspect
 import logging
 import os
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import optax
@@ -187,6 +187,43 @@ def _load_lfo_weights(model, weights_path: str, example_in_ch: int, n_samples: i
     raise ValueError(f"unsupported weights format: {weights_path}")
 
 
+def build_data_module(
+    data_cfg: Dict[str, Any], custom: Dict[str, Any], seed: int
+) -> Tuple[Any, Dict[str, Any]]:
+    """Instantiate a data module from {class_path, init_args}, applying
+    the CPU fallback (`cli.py:128-143`); returns (module, data_links)."""
+    data_args = dict(data_cfg.get("init_args") or {})
+
+    if jax.default_backend() == "cpu":
+        cpu_bs = int(custom.get("cpu_batch_size", 5))
+        cpu_train = int(custom.get("cpu_train_num_examples_per_epoch", 10))
+        cpu_val = int(custom.get("cpu_val_num_examples_per_epoch", 5))
+        log.info("CPU backend: batch_size=%d, epochs sizes=%d/%d",
+                 cpu_bs, cpu_train, cpu_val)
+        data_args["batch_size"] = cpu_bs
+        for k, v in (
+            ("train_num_examples_per_epoch", cpu_train),
+            ("val_num_examples_per_epoch", cpu_val),
+        ):
+            if k in data_args:
+                data_args[k] = v
+        if "shared_train_args" in data_args:
+            data_args["shared_train_args"]["num_examples_per_epoch"] = cpu_train
+        if "shared_val_args" in data_args:
+            data_args["shared_val_args"]["num_examples_per_epoch"] = cpu_val
+
+    dm_cls = DATA_MODULE_REGISTRY[data_cfg["class_path"]]
+    data_args.setdefault("seed", seed)
+    data_module = dm_cls(**_filter_kwargs(dm_cls, data_args))
+
+    shared = data_args.get("shared_args") or {}
+    data_links = {
+        "n_samples": data_args.get("n_samples", shared.get("n_samples")),
+        "sr": data_args.get("sr", shared.get("sr")),
+    }
+    return data_module, {k: v for k, v in data_links.items() if v is not None}
+
+
 class RunConfig:
     """Parsed experiment config + instantiated objects."""
 
@@ -202,38 +239,9 @@ class RunConfig:
         self.max_epochs = int(trainer_cfg.get("max_epochs", 1))
         self.ckpt_path = cfg.get("ckpt_path")
 
-        data_cfg = dict(cfg["data"])
-        data_args = dict(data_cfg.get("init_args") or {})
-
-        # CPU fallback (`cli.py:128-143`): shrink batch/epoch sizes
-        if jax.default_backend() == "cpu":
-            cpu_bs = int(custom.get("cpu_batch_size", 5))
-            cpu_train = int(custom.get("cpu_train_num_examples_per_epoch", 10))
-            cpu_val = int(custom.get("cpu_val_num_examples_per_epoch", 5))
-            log.info("CPU backend: batch_size=%d, epochs sizes=%d/%d",
-                     cpu_bs, cpu_train, cpu_val)
-            data_args["batch_size"] = cpu_bs
-            for k, v in (
-                ("train_num_examples_per_epoch", cpu_train),
-                ("val_num_examples_per_epoch", cpu_val),
-            ):
-                if k in data_args:
-                    data_args[k] = v
-            if "shared_train_args" in data_args:
-                data_args["shared_train_args"]["num_examples_per_epoch"] = cpu_train
-            if "shared_val_args" in data_args:
-                data_args["shared_val_args"]["num_examples_per_epoch"] = cpu_val
-
-        dm_cls = DATA_MODULE_REGISTRY[data_cfg["class_path"]]
-        data_args.setdefault("seed", self.seed)
-        self.data_module = dm_cls(**_filter_kwargs(dm_cls, data_args))
-
-        shared = data_args.get("shared_args") or {}
-        self.data_links = {
-            "n_samples": data_args.get("n_samples", shared.get("n_samples")),
-            "sr": data_args.get("sr", shared.get("sr")),
-        }
-        self.data_links = {k: v for k, v in self.data_links.items() if v is not None}
+        self.data_module, self.data_links = build_data_module(
+            dict(cfg["data"]), custom, self.seed
+        )
 
         self.optimizer = build_optimizer(cfg.get("optimizer"))
         opt_args = (cfg.get("optimizer") or {}).get("init_args") or {}
@@ -350,6 +358,32 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
     return trainer.fit()
 
 
+def _load_eval_state(run: RunConfig, trainer: Trainer, ckpt_path: Optional[str]):
+    """Build the task state for validation, restoring `ckpt_path` if set
+    (bare models/*.npz / reference .pt, or an Orbax checkpoint dir)."""
+    if not getattr(run.task, "has_params", True):
+        return None  # RandomLFO extractor baseline: nothing to restore
+    state = run.task.init_state(jax.random.PRNGKey(run.seed))
+    if ckpt_path and ckpt_path.endswith((".npz", ".pt")):
+        # bare-weights checkpoint (models/*.npz, the reference's `.pt`
+        # analog) -> replace the task model's params
+        if os.path.isfile(ckpt_path):
+            model = getattr(run.task, "model", None)
+            loaded = _load_lfo_weights(
+                model, ckpt_path, 2, run.data_module.render_cfg.n_samples
+            )
+            state = state.replace(params=loaded)
+        else:
+            log.warning(
+                "ckpt_path %s not found; validating with random init", ckpt_path
+            )
+    elif ckpt_path:
+        restored = trainer.ckpts.restore(ckpt_path, state)
+        if restored is not None:
+            state = restored
+    return state
+
+
 def validate(config_path: str, out_dir: str = "out",
              state_override: Any = None) -> Dict[str, float]:
     """Validation run that prints an eval table (reference
@@ -363,29 +397,7 @@ def validate(config_path: str, out_dir: str = "out",
     )
     state = state_override
     if state is None:
-        if getattr(run.task, "is_random_lfo", False):
-            state = None
-        else:
-            state = run.task.init_state(jax.random.PRNGKey(run.seed))
-            if run.ckpt_path and run.ckpt_path.endswith((".npz", ".pt")):
-                # bare-weights checkpoint (models/*.npz, the reference's
-                # `.pt` analog) -> replace the task model's params
-                if os.path.isfile(run.ckpt_path):
-                    model = getattr(run.task, "model", None)
-                    loaded = _load_lfo_weights(
-                        model, run.ckpt_path, 2,
-                        run.data_module.render_cfg.n_samples,
-                    )
-                    state = state.replace(params=loaded)
-                else:
-                    log.warning(
-                        "ckpt_path %s not found; validating with random init",
-                        run.ckpt_path,
-                    )
-            elif run.ckpt_path:
-                restored = trainer.ckpts.restore(run.ckpt_path, state)
-                if restored is not None:
-                    state = restored
+        state = _load_eval_state(run, trainer, run.ckpt_path)
     metrics = trainer.validate(state)
 
     if (run.raw.get("custom") or {}).get("save_latents", False) and hasattr(
@@ -417,3 +429,48 @@ def validate(config_path: str, out_dir: str = "out",
 
     print(format_validate_table({f"val/{k}": v for k, v in metrics.items()}))
     return metrics
+
+
+def validate_many(
+    variants: list, out_dir: str = "out"
+) -> list:
+    """Validate several (label, cfg) variants of ONE experiment config
+    while reusing the compiled task.
+
+    The jitted val step caches on the task instance, so rebuilding the
+    task per variant (what looping `validate` does) recompiles the whole
+    step — minutes per variant on remote-TPU hosts.  Here the task is
+    built once from the first cfg; each variant may swap the DATA block
+    (e.g. per-shape LFO sweeps) and/or `ckpt_path` (e.g. the em-sim
+    suite's per-effect checkpoints).  All variants must produce the same
+    RenderConfig (asserted) — that is what makes the step reusable.
+
+    Returns [(label, metrics), ...]."""
+    assert variants
+    results = []
+    run: Optional[RunConfig] = None
+    state = None
+    last_ckpt: Any = object()  # sentinel != any real path/None
+    for label, cfg in variants:
+        custom = cfg.get("custom") or {}
+        if run is None:
+            run = RunConfig(cfg)
+            dm = run.data_module
+        else:
+            dm, _ = build_data_module(dict(cfg["data"]), custom, run.seed)
+            assert dm.render_cfg == run.task.render_cfg, (
+                f"variant {label!r} changes the render config; it needs its "
+                "own validate() run"
+            )
+        trainer = Trainer(
+            run.task, dm, out_dir=out_dir,
+            run_name=run.run_name + "_eval", seed=run.seed,
+            media_callback=_media_callback_for(run),
+        )
+        ckpt = cfg.get("ckpt_path")
+        if ckpt != last_ckpt:
+            run.data_module = dm  # _load_eval_state reads render_cfg off it
+            state = _load_eval_state(run, trainer, ckpt)
+            last_ckpt = ckpt
+        results.append((label, trainer.validate(state)))
+    return results

@@ -77,6 +77,8 @@ class LFOExtractionTask:
             # (`configs/opt/adam_w.yml`)
             self.optimizer = optax.adamw(1e-4, b1=0.8, b2=0.99)
         self.is_random_lfo = isinstance(self.model, RandomLFO)
+        # the RandomLFO baseline is the only task with NO trainable params
+        self.has_params = not self.is_random_lfo
 
     # ---------------------------------------------------------------- init
     def init_state(self, key: jax.Array, batch_size: int = 2) -> TrainState:

@@ -90,6 +90,9 @@ class TBPTTEffectModelingTask:
             self.optimizer = optax.adamw(1e-4, b1=0.8, b2=0.99)
         self.use_gt_mod_sig = self.lfo_model is None
         self.is_random_lfo = isinstance(self.lfo_model, RandomLFO)
+        # NB: is_random_lfo refers to the LFO MODEL; the effect model
+        # always trains, so a TBPTT task always has params
+        self.has_params = True
         self.trainable_lfo = (
             self.lfo_model is not None
             and not self.freeze_lfo_model

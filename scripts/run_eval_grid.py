@@ -90,13 +90,12 @@ def _em_sim_variants(base_cfg):
 
 
 if __name__ == "__main__":
-    import tempfile
-
-    import yaml
-
-    from mod_extraction_tpu.cli import load_yaml_with_includes, validate
+    from mod_extraction_tpu.cli import load_yaml_with_includes, validate_many
     from mod_extraction_tpu.evaluation.tables import format_validate_table
     from mod_extraction_tpu.paths import ensure_dir
+
+    def table(metrics):
+        return format_validate_table({f"val/{k}": v for k, v in metrics.items()})
 
     args = [a for a in sys.argv[1:] if a not in ("--per-shape", "--em-sim")]
     per_shape = "--per-shape" in sys.argv[1:]
@@ -112,23 +111,26 @@ if __name__ == "__main__":
         try:
             cfg = load_yaml_with_includes(name)
             if em_sim:
-                variants = list(_em_sim_variants(cfg))
-            elif per_shape:
-                variants = list(_shape_variants(cfg))
+                # two validate_many groups (the lstm and rand tasks each
+                # compile once), interleaved back into the reference's
+                # layout: lstm table, rand table, effect label
+                pairs = list(_em_sim_variants(cfg))
+                groups = {
+                    kind: validate_many(
+                        [(lb, c) for lb, c in pairs if lb.endswith(kind)]
+                    )
+                    for kind in ("lstm", "rand")
+                }
+                for i, (effect, _) in enumerate(EM_SIM_EFFECTS):
+                    blocks.append(table(groups["lstm"][i][1]))
+                    blocks.append(f"{table(groups['rand'][i][1])}\n{effect}\n")
             else:
-                variants = [("", cfg)]
-            for label, vcfg in variants:
-                with tempfile.NamedTemporaryFile(
-                    "w", suffix=".yml", delete=False
-                ) as f:
-                    yaml.safe_dump(vcfg, f)
-                    tmp = f.name
-                metrics = validate(tmp)
-                os.unlink(tmp)
-                table = format_validate_table(
-                    {f"val/{k}": v for k, v in metrics.items()}
+                variants = (
+                    list(_shape_variants(cfg)) if per_shape else [("", cfg)]
                 )
-                blocks.append(f"{table}\n{label}\n" if label else table)
+                for label, metrics in validate_many(variants):
+                    t = table(metrics)
+                    blocks.append(f"{t}\n{label}\n" if label else t)
         except Exception:
             blocks.append(f"FAILED:\n{traceback.format_exc()}")
         with open(target, "w") as f:
