@@ -339,8 +339,15 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
     warm_start = None
     init_wp = custom.get("init_weights_path")
     if init_wp and isinstance(run.task, LFOExtractionTask):
-        warm_start = _load_lfo_weights(
+        # lazy: loaded only if no resumable `last` checkpoint exists
+        warm_start = lambda: _load_lfo_weights(  # noqa: E731
             run.task.model, init_wp, 2, run.data_module.render_cfg.n_samples
+        )
+    elif init_wp:
+        log.warning(
+            "custom.init_weights_path is only supported for LFO-extraction "
+            "tasks; ignored for %s (TBPTT uses lfo_model_weights_path)",
+            type(run.task).__name__,
         )
     trainer = Trainer(
         run.task,
@@ -412,9 +419,7 @@ def validate(config_path: str, out_dir: str = "out",
 
         run.data_module.setup("validate")
         batch = next(run.data_module.val_loader().epoch(0))
-        dry, wet, _, fx = render_batch(
-            batch, run.task.render_cfg, getattr(run.task, "corpus", None)
-        )
+        dry, wet, _, fx = render_batch(batch, run.task.render_cfg, trainer.corpus)
         params = state.params if hasattr(state, "params") else state
         _, latent = run.task._extract(
             params, dry, wet, fx, jax.random.PRNGKey(0), train=False
@@ -449,6 +454,7 @@ def validate_many(
     assert variants
     results = []
     run: Optional[RunConfig] = None
+    first_model_cfg = None
     state = None
     last_ckpt: Any = object()  # sentinel != any real path/None
     for label, cfg in variants:
@@ -456,7 +462,15 @@ def validate_many(
         if run is None:
             run = RunConfig(cfg)
             dm = run.data_module
+            first_model_cfg = cfg.get("model")
         else:
+            # only data/ckpt may vary: the task (model block) is REUSED,
+            # so silently differing model configs would yield tables for
+            # the wrong model
+            assert cfg.get("model") == first_model_cfg, (
+                f"variant {label!r} changes the model block; it needs its "
+                "own validate()/validate_many() run"
+            )
             dm, _ = build_data_module(dict(cfg["data"]), custom, run.seed)
             assert dm.render_cfg == run.task.render_cfg, (
                 f"variant {label!r} changes the render config; it needs its "

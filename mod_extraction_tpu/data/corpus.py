@@ -12,7 +12,10 @@ vmapped dynamic_slice (`train/render.py`).
 
 Quantization matches the int16 wire format (`data/loader.py::collate`),
 so corpus-fed training is bit-identical to int16-wire training (exact
-for PCM16 sources).
+for PCM16 sources) — except under `should_peak_norm`, where the wire
+path quantizes the already-normalized chunk while the corpus path
+applies the gain after dequantizing, differing by up to one int16 LSB
+times the gain.
 
 Enabled per data module with `device_corpus: true`; the host keeps its
 chunk-selection logic (silence rejection, retries, channel picks)

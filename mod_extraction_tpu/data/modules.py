@@ -73,7 +73,7 @@ class BaseDataModule:
         raise NotImplementedError
 
     def _chunk_datasets(self) -> list:
-        out = []
+        out, unsupported = [], []
         for ds in (self.train_dataset, self.val_dataset):
             if ds is None:
                 continue
@@ -81,6 +81,16 @@ class BaseDataModule:
             for d in subs if subs is not None else [ds]:
                 if hasattr(d, "corpus_paths"):
                     out.append(d)
+                else:
+                    unsupported.append(type(d).__name__)
+        if unsupported:
+            # a mixed batch (some items with dry_idx, some with audio)
+            # cannot be collated — fail loudly at setup instead
+            raise ValueError(
+                "device_corpus: these datasets have no corpus support: "
+                f"{sorted(set(unsupported))}; disable device_corpus or use "
+                "chunk-based datasets only"
+            )
         return out
 
     def corpus_payload(self):

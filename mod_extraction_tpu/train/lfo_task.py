@@ -63,12 +63,6 @@ class LFOExtractionTask:
     stretch_smooth_n_frames: int = 0
     sub_batch_size: Optional[int] = None
     loss_dict: Optional[Dict[str, float]] = None
-    # device-resident audio corpus (data/corpus.py); captured by the
-    # jitted steps at trace time — attach via set_corpus BEFORE stepping
-    corpus: Optional[Any] = None
-
-    def set_corpus(self, corpus) -> None:
-        self.corpus = corpus
 
     def __post_init__(self):
         self.losses = WeightedLossDict(self.loss_dict)
@@ -127,22 +121,27 @@ class LFOExtractionTask:
                 mod_gt = center_crop_last(mod_gt, mod_hat.shape[-1])
         return mod_hat, mod_gt
 
-    def _loss_fn(self, params, batch, key, train: bool):
+    def _loss_fn(self, params, batch, key, train: bool, corpus=None):
         k_render, k_mask, k_rand = jax.random.split(key, 3)
-        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg, self.corpus)
+        dry, wet, mod_frames, fx = render_batch(batch, self.render_cfg, corpus)
         mod_hat, _ = self._extract(params, dry, wet, fx, k_mask, train)
         mod_hat, mod_gt = self._postprocess(mod_hat, mod_frames)
         loss, metrics = self.losses(mod_hat, mod_gt)
         return loss, metrics
 
     # --------------------------------------------------------------- steps
+    # `corpus` is an ORDINARY (traced) argument, not trace-time-captured
+    # state: evaluating several corpora through one compiled step (e.g.
+    # validate_many sweeps) must read the corpus passed at call time
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(self, state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
+    def train_step(
+        self, state: TrainState, batch, key, corpus=None
+    ) -> Tuple[TrainState, Dict]:
         if self.sub_batch_size is not None:
-            return self._train_step_subbatched(state, batch, key)
+            return self._train_step_subbatched(state, batch, key, corpus)
 
         def loss_fn(params):
-            return self._loss_fn(params, batch, key, train=True)
+            return self._loss_fn(params, batch, key, train=True, corpus=corpus)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -156,10 +155,10 @@ class LFOExtractionTask:
         )
         return new_state, metrics
 
-    def _train_step_subbatched(self, state, batch, key):
+    def _train_step_subbatched(self, state, batch, key, corpus=None):
         """`sub_batch_size` microbatching with gradient averaging."""
         sub = self.sub_batch_size
-        b = batch["dry"].shape[0]
+        b = jax.tree.leaves(batch)[0].shape[0]
         assert b % sub == 0 and b >= sub
         n = b // sub
 
@@ -170,7 +169,7 @@ class LFOExtractionTask:
         keys = jax.random.split(key, n)
 
         def one(params, sb, k):
-            return self._loss_fn(params, sb, k, train=True)
+            return self._loss_fn(params, sb, k, train=True, corpus=corpus)
 
         def grad_one(carry, inp):
             sb, k = inp
@@ -207,6 +206,6 @@ class LFOExtractionTask:
         )
 
     @partial(jax.jit, static_argnums=(0,))
-    def val_step(self, params, batch, key) -> Dict:
-        _, metrics = self._loss_fn(params, batch, key, train=False)
+    def val_step(self, params, batch, key, corpus=None) -> Dict:
+        _, metrics = self._loss_fn(params, batch, key, train=False, corpus=corpus)
         return metrics

@@ -100,19 +100,22 @@ class Trainer:
         self.check_finite = check_finite
         # bare-weights warm start (used when a run continues from an
         # exported models/*.npz after its out/ checkpoint dir is gone);
-        # a restorable `last` checkpoint always takes precedence
+        # a restorable `last` checkpoint always takes precedence.  May be
+        # a zero-arg callable, invoked only if actually needed.
         self.warm_start_params = warm_start_params
+        # device-resident corpus array (set by _attach_corpus)
+        self.corpus = None
 
     def _attach_corpus(self) -> None:
         """Device-resident corpus (data/corpus.py): upload once, replicated
-        on the mesh, captured by the jitted steps at trace time."""
+        on the mesh.  Held by the TRAINER and passed to every step as an
+        ordinary argument — never trace-time-captured by the task, so one
+        compiled step evaluates whatever corpus each call supplies."""
         payload = getattr(self.dm, "corpus_payload", lambda: None)()
         if payload is not None:
             from mod_extraction_tpu.parallel.mesh import replicated_sharding
 
-            self.task.set_corpus(
-                jax.device_put(payload, replicated_sharding(self.mesh))
-            )
+            self.corpus = jax.device_put(payload, replicated_sharding(self.mesh))
 
     def fit(self) -> Any:
         self.dm.setup("fit")
@@ -129,7 +132,8 @@ class Trainer:
                     start_epoch = json.load(f).get("epoch", -1) + 1
             log.info("Resumed from epoch %d", start_epoch)
         elif self.warm_start_params is not None:
-            state = state.replace(params=self.warm_start_params)
+            ws = self.warm_start_params
+            state = state.replace(params=ws() if callable(ws) else ws)
             log.info("Warm-started params (fresh optimizer state)")
 
         train_loader = self.dm.train_loader()
@@ -149,7 +153,9 @@ class Trainer:
                     self._profiling = True
                 batch = shard_batch(batch, self.mesh)
                 step_key = jax.random.fold_in(key, global_step)
-                state, metrics = self.task.train_step(state, batch, step_key)
+                state, metrics = self.task.train_step(
+                    state, batch, step_key, self.corpus
+                )
                 # keep metrics as device scalars — pulling them here would
                 # block on this step and serialize the pipeline; they are
                 # materialized at log points and at the epoch mean
@@ -193,6 +199,17 @@ class Trainer:
             payload.update({f"val/{k}": v for k, v in val_metrics.items()})
             self.metrics.log(payload)
 
+            if self.check_finite:
+                # epoch-boundary guard: never checkpoint NaN params (the
+                # in-epoch check only fires at log points)
+                bad = {
+                    k: v for k, v in payload.items()
+                    if isinstance(v, float) and not np.isfinite(v)
+                }
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite epoch metrics at epoch {epoch}: {bad}"
+                    )
             self.ckpts.save_last(state, epoch, global_step)
             if "loss" in val_metrics:
                 self.ckpts.maybe_save_best(state, val_metrics["loss"], epoch, global_step)
@@ -208,7 +225,9 @@ class Trainer:
         params = state.params if hasattr(state, "params") else state
         for i, batch in enumerate(val_loader.epoch(epoch)):
             batch = shard_batch(batch, self.mesh)
-            metrics = self.task.val_step(params, batch, jax.random.fold_in(key, i))
+            metrics = self.task.val_step(
+                params, batch, jax.random.fold_in(key, i), self.corpus
+            )
             acc.append(metrics)  # device scalars; materialized in the mean
             if i == 0 and self.media_callback is not None:
                 self.media_callback(self, params, batch, epoch)

@@ -75,12 +75,6 @@ class TBPTTEffectModelingTask:
     # val): "auto" uses the fused Pallas kernel on TPU.  Gradient chunks
     # always use the scan (autodiff applies there).
     lstm_impl: str = "auto"
-    # device-resident audio corpus (data/corpus.py); captured by the
-    # jitted steps at trace time — attach via set_corpus BEFORE stepping
-    corpus: Optional[Any] = None
-
-    def set_corpus(self, corpus) -> None:
-        self.corpus = corpus
 
     def __post_init__(self):
         if self.loss_dict is None:
@@ -221,14 +215,14 @@ class TBPTTEffectModelingTask:
                 mod = center_crop_last(mod, mod_hat.shape[-1])
         return mod_hat, mod, orig - mod_hat.shape[-1]
 
-    def _prepare(self, batch, key, lfo_params=None):
+    def _prepare(self, batch, key, lfo_params=None, corpus=None):
         """render -> extract -> smooth/stretch -> crop -> validity -> upsample.
 
         Returns (dry, wet, mod_sr, mod_hat, mod, weights, extras) where
         extras = (dry_full, wet_full, mod_frames, fx) — the uncropped
         tensors the unfrozen-extractor path re-extracts from."""
         dry_full, wet_full, mod_frames, fx = render_batch(
-            batch, self.render_cfg, self.corpus
+            batch, self.render_cfg, corpus
         )
         t = dry_full.shape[-1]
         assert t >= self.warmup_n_samples + self.step_n_samples
@@ -271,14 +265,17 @@ class TBPTTEffectModelingTask:
         )
 
     # --------------------------------------------------------------- steps
+    # `corpus` is a traced argument (see lfo_task.train_step note)
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(self, state: TBPTTState, batch, key) -> Tuple[TBPTTState, Dict]:
+    def train_step(
+        self, state: TBPTTState, batch, key, corpus=None
+    ) -> Tuple[TBPTTState, Dict]:
         em = self.effect_model
         lfo_p0 = state.params.get("lfo") if self.trainable_lfo else None
         if lfo_p0 is not None:
             lfo_p0 = jax.lax.stop_gradient(lfo_p0)
         dry, wet, mod_sr, mod_hat, mod, weights, extras = self._prepare(
-            batch, key, lfo_params=lfo_p0
+            batch, key, lfo_params=lfo_p0, corpus=corpus
         )
         b = dry.shape[0]
         w, s = self.warmup_n_samples, self.step_n_samples
@@ -348,13 +345,13 @@ class TBPTTEffectModelingTask:
         return new_state, metrics
 
     @partial(jax.jit, static_argnums=(0,))
-    def val_step(self, params, batch, key) -> Dict:
+    def val_step(self, params, batch, key, corpus=None) -> Dict:
         """Full-sequence forward (numerically identical to the reference's
         no-update chunk loop), warmup excluded from the metric."""
         em = self.effect_model
         lfo_p = params.get("lfo") if self.trainable_lfo else None
         dry, wet, mod_sr, mod_hat, mod, weights, _ = self._prepare(
-            batch, key, lfo_params=lfo_p
+            batch, key, lfo_params=lfo_p, corpus=corpus
         )
         b = dry.shape[0]
         w, s = self.warmup_n_samples, self.step_n_samples

@@ -132,7 +132,7 @@ def lfo_media_callback(max_examples: int = 4):
         host = jax.tree.map(np.asarray, batch)
         dry, wet, mod_frames, fx = jax.tree.map(
             np.asarray,
-            render_batch(host, task.render_cfg, getattr(task, "corpus", None)),
+            render_batch(host, task.render_cfg, trainer.corpus),
         )
         key = jax.random.PRNGKey(0)
         mod_hat, _ = task._extract(params, dry, wet, fx, key, train=False)

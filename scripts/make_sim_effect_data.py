@@ -89,18 +89,35 @@ def _render(effect: str, rng, dry: np.ndarray):
     raise SystemExit(f"unknown effect: {effect}")
 
 
+ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_phaser")
+
+
 def main(argv) -> None:
     from mod_extraction_tpu.data.wav import wav_write
 
     def opt(name, default):
-        return argv[argv.index(name) + 1] if name in argv else default
+        if name in argv:
+            i = argv.index(name)
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{name} needs a value")
+            return argv[i + 1]
+        return default
 
-    src_train = opt("--src-train", "data/idmt_4/train")
-    src_val = opt("--src-val", "data/idmt_4/val")
-    out_root = opt("--out-root", "data")
-    effects = [a for a in argv if not a.startswith("--") and a in
-               ("sim_chorus", "sim_flanger", "sim_phaser")]
-    effects = effects or ["sim_chorus", "sim_flanger", "sim_phaser"]
+    # positional compatibility: <src_train> <src_val> [out_root] (the
+    # original single-effect CLI); flags win when both are given
+    flag_vals = {argv[argv.index(f) + 1] for f in
+                 ("--src-train", "--src-val", "--out-root")
+                 if f in argv and argv.index(f) + 1 < len(argv)}
+    positional = [a for a in argv
+                  if not a.startswith("--") and a not in ALL_EFFECTS
+                  and a not in flag_vals]
+    src_train = opt("--src-train", positional[0] if len(positional) > 0
+                    else "data/idmt_4/train")
+    src_val = opt("--src-val", positional[1] if len(positional) > 1
+                  else "data/idmt_4/val")
+    out_root = opt("--out-root", positional[2] if len(positional) > 2
+                   else "data")
+    effects = [a for a in argv if a in ALL_EFFECTS] or list(ALL_EFFECTS)
 
     for e_i, effect in enumerate(effects):
         rng = np.random.default_rng(7 + e_i)

@@ -65,8 +65,14 @@ EM_SIM_EFFECTS = [
 def _em_sim_variants(base_cfg):
     """Yield (label, cfg) pairs: per effect, the extractor-driven LSTM
     then the random-LFO baseline (reference eval_em_unseen_effect.txt:
-    two tables per label, label following its tables)."""
+    two tables per label, label following its tables).
+
+    The lstm variants share one task (only data dirs + ckpt change); the
+    rand variants each carry a DIFFERENT RandomLFO band, i.e. a different
+    task — run each through its own validate_many call."""
     import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
 
     for effect, baseline_model in EM_SIM_EFFECTS:
         for kind in ("lstm", "rand"):
@@ -81,7 +87,10 @@ def _em_sim_variants(base_cfg):
                 c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r1__{effect}.npz"
             else:
                 c["ckpt_path"] = f"models/rand_tri_band__{effect}.npz"
-                ma["lfo_model"] = baseline_model
+                # base_cfg is already include-resolved, so resolve the
+                # baseline model config here too (a raw path string would
+                # reach build_model unexpanded)
+                ma["lfo_model"] = load_yaml_with_includes(baseline_model)
                 ma.pop("lfo_model_weights_path", None)
                 ma["model_smooth_n_frames"] = 0
                 ma["should_stretch"] = False
@@ -111,19 +120,22 @@ if __name__ == "__main__":
         try:
             cfg = load_yaml_with_includes(name)
             if em_sim:
-                # two validate_many groups (the lstm and rand tasks each
-                # compile once), interleaved back into the reference's
-                # layout: lstm table, rand table, effect label
+                # lstm group shares one compiled task; each rand variant
+                # has its own RandomLFO band -> its own task. Interleave
+                # back into the reference's layout: lstm table, rand
+                # table, effect label.
                 pairs = list(_em_sim_variants(cfg))
-                groups = {
-                    kind: validate_many(
-                        [(lb, c) for lb, c in pairs if lb.endswith(kind)]
-                    )
-                    for kind in ("lstm", "rand")
-                }
+                lstm = validate_many(
+                    [(lb, c) for lb, c in pairs if lb.endswith("lstm")]
+                )
+                rand = [
+                    validate_many([(lb, c)])[0]
+                    for lb, c in pairs
+                    if lb.endswith("rand")
+                ]
                 for i, (effect, _) in enumerate(EM_SIM_EFFECTS):
-                    blocks.append(table(groups["lstm"][i][1]))
-                    blocks.append(f"{table(groups['rand'][i][1])}\n{effect}\n")
+                    blocks.append(table(lstm[i][1]))
+                    blocks.append(f"{table(rand[i][1])}\n{effect}\n")
             else:
                 variants = (
                     list(_shape_variants(cfg)) if per_shape else [("", cfg)]

@@ -147,5 +147,37 @@ def test_fit_end_to_end_with_device_corpus(tmp_path):
     )
     trainer = Trainer(task, dm, max_epochs=1, out_dir=os.path.join(tmp, "out"))
     state = trainer.fit()
-    assert task.corpus is not None
+    assert trainer.corpus is not None
     assert int(np.asarray(state.step)) == 1
+
+
+def test_one_compiled_step_reads_the_corpus_passed_per_call(tmp_path):
+    """The corpus is a traced step ARGUMENT: calling the same compiled
+    val step with a different corpus must change the result (guards the
+    validate_many sweep against trace-time corpus capture)."""
+    import optax
+
+    from mod_extraction_tpu.models import Spectral2DCNN
+    from mod_extraction_tpu.train.lfo_task import LFOExtractionTask
+
+    tmp = str(tmp_path)
+    _write_wavs(os.path.join(tmp, "wavs"))
+    dm = _phaser_dm(tmp, device_corpus=True)
+    dm.setup("fit")
+    corpus = jax.numpy.asarray(dm.corpus_payload())
+    model = Spectral2DCNN(
+        in_ch=2, n_samples=N, sr=SR, n_fft=256, hop_len=64, n_mels=16,
+        out_channels=(4, 4), bin_dilations=(1, 1), temp_dilations=(1, 2),
+        pool_size=(2, 1),
+    )
+    task = LFOExtractionTask(
+        model=model, render_cfg=dm.render_cfg,
+        optimizer=optax.adamw(1e-4), loss_dict={"l1": 1.0},
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    batch = next(dm.val_loader().epoch(0))
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+    key = jax.random.PRNGKey(1)
+    m1 = task.val_step(state.params, batch, key, corpus)
+    m2 = task.val_step(state.params, batch, key, corpus * 0)  # silence
+    assert float(m1["loss"]) != float(m2["loss"])
