@@ -83,21 +83,67 @@ def render_riff(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarra
     return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
 
 
+def render_pads(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarray:
+    """Sustained additive-synthesis chords (vocal/pad-like): slow attacks,
+    steady harmonics, slight detune shimmer — spectral statistics far from
+    the plucked KS riffs, for the UNSEEN-AUDIO generalization eval
+    (reference uses MedleyDB/VocalSet there)."""
+    out = np.zeros(n_samples)
+    bar = 4 * 60.0 / bpm
+    t_axis = np.arange(n_samples) / SR
+    t = 0.0
+    while t < n_samples / SR:
+        dur = bar * rng.choice([1.0, 1.0, 2.0])
+        root = 110.0 * SEMITONE ** rng.integers(0, 24)
+        intervals = rng.choice([0, 3, 4, 7, 10, 12], rng.integers(3, 6),
+                               replace=False)
+        seg = np.zeros(n_samples)
+        for iv in intervals:
+            f0 = root * SEMITONE ** iv
+            for h in range(1, 9):
+                if f0 * h > 0.45 * SR:
+                    break
+                detune = 1.0 + rng.normal(0.0, 3e-4)
+                amp = rng.uniform(0.5, 1.0) / h**1.5
+                ph = rng.uniform(0, 2 * np.pi)
+                seg += amp * np.sin(2 * np.pi * f0 * h * detune * t_axis + ph)
+        # slow attack/release envelope gated to [t, t+dur]
+        env = np.clip((t_axis - t) / 0.4, 0, 1) * np.clip((t + dur - t_axis) / 0.6, 0, 1)
+        out += seg * np.clip(env, 0, 1) * rng.uniform(0.2, 0.5)
+        t += dur
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
+
+
+STYLES = {"riffs": render_riff, "pads": render_pads}
+
+
 def main() -> None:
-    out_root = sys.argv[1] if len(sys.argv) > 1 else "data/idmt_4"
-    n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_val = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    dur_s = float(sys.argv[4]) if len(sys.argv) > 4 else 12.0
+    argv = list(sys.argv[1:])
+    style = "riffs"
+    if "--style" in argv:
+        i = argv.index("--style")
+        style = argv[i + 1]
+        del argv[i : i + 2]
+    render = STYLES[style]
+    out_root = argv[0] if len(argv) > 0 else "data/idmt_4"
+    n_train = int(argv[1]) if len(argv) > 1 else 32
+    n_val = int(argv[2]) if len(argv) > 2 else 8
+    dur_s = float(argv[3]) if len(argv) > 3 else 12.0
     n_samples = int(dur_s * SR)
     for split, count, seed0 in (("train", n_train, 1000), ("val", n_val, 2000)):
+        if count <= 0:
+            continue
         d = os.path.join(out_root, split)
         os.makedirs(d, exist_ok=True)
         for i in range(count):
             rng = np.random.default_rng(seed0 + i)
             bpm = int(rng.choice([80, 95, 100, 110, 120, 130, 140]))
-            audio = render_riff(rng, n_samples, bpm)
-            wav_write(os.path.join(d, f"ks_riff_{seed0 + i}_{bpm}bpm.wav"), audio, SR)
-        print(f"{split}: {count} files x {dur_s:.1f}s -> {d}")
+            audio = render(rng, n_samples, bpm)
+            wav_write(
+                os.path.join(d, f"{style}_{seed0 + i}_{bpm}bpm.wav"), audio, SR
+            )
+        print(f"{split} [{style}]: {count} files x {dur_s:.1f}s -> {d}")
 
 
 if __name__ == "__main__":
