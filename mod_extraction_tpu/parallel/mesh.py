@@ -54,6 +54,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """device_put a pytree of host arrays with batch-axis sharding."""
+    """Feed a pytree of host arrays with batch-axis sharding.
+
+    Single-host: plain device_put.  Multi-host (a mesh spanning
+    processes under `jax.distributed.initialize()`): each host holds its
+    process-local SLICE of the global batch, assembled into one global
+    array via `make_array_from_process_local_data` — the host-side
+    counterpart of the DCN/ICI layout described in the module docstring."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
