@@ -92,8 +92,10 @@ def _render(effect: str, rng, dry: np.ndarray):
 ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_phaser")
 
 
-def main(argv) -> None:
-    from mod_extraction_tpu.data.wav import wav_write
+def parse_args(argv):
+    """(src_train, src_val, out_root, effects) from flags, positionals
+    (`<src_train> <src_val> [out_root]`, the original CLI), or defaults;
+    flags win when both forms are given."""
 
     def opt(name, default):
         if name in argv:
@@ -103,8 +105,6 @@ def main(argv) -> None:
             return argv[i + 1]
         return default
 
-    # positional compatibility: <src_train> <src_val> [out_root] (the
-    # original single-effect CLI); flags win when both are given
     flag_vals = {argv[argv.index(f) + 1] for f in
                  ("--src-train", "--src-val", "--out-root")
                  if f in argv and argv.index(f) + 1 < len(argv)}
@@ -118,6 +118,13 @@ def main(argv) -> None:
     out_root = opt("--out-root", positional[2] if len(positional) > 2
                    else "data")
     effects = [a for a in argv if a in ALL_EFFECTS] or list(ALL_EFFECTS)
+    return src_train, src_val, out_root, effects
+
+
+def main(argv) -> None:
+    from mod_extraction_tpu.data.wav import wav_write
+
+    src_train, src_val, out_root, effects = parse_args(argv)
 
     for e_i, effect in enumerate(effects):
         rng = np.random.default_rng(7 + e_i)
