@@ -143,6 +143,16 @@ if __name__ == "__main__":
                 for label, metrics in validate_many(variants):
                     t = table(metrics)
                     blocks.append(f"{t}\n{label}\n" if label else t)
+        except (AssertionError, FileNotFoundError) as e:
+            if "data/" in str(e):
+                # external dataset not present in this environment —
+                # record that plainly instead of a traceback
+                blocks.append(
+                    f"SKIPPED (missing dataset): {e}\n"
+                    "See README.md 'Reproducing the paper experiments'.\n"
+                )
+            else:
+                blocks.append(f"FAILED:\n{traceback.format_exc()}")
         except Exception:
             blocks.append(f"FAILED:\n{traceback.format_exc()}")
         with open(target, "w") as f:
