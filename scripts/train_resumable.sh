@@ -10,6 +10,11 @@
 # (each chunk process pays startup + checkpoint-restore even with no
 # epochs left to train).
 set -e
+# persistent XLA compile cache: makes each chunk process reuse the
+# previous chunks' compilations (no-op on backends that don't support it)
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 CFG=${1:?usage: train_resumable.sh <config> [total_epochs] [epochs_per_proc] [start_epoch]}
 TOTAL=${2:-400}
 CHUNK=${3:-8}
