@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 DEFAULT_GRID = [
     "eval_lfo.yml",
+    "eval_lfo_varying.yml",
     "eval_lfo_flanger.yml",
+    "eval_lfo_flanger_varying.yml",
     "eval_lfo_chorus.yml",
+    "eval_lfo_chorus_varying.yml",
     "eval_lfo_quasi.yml",
     "eval_lfo_distorted.yml",
     "eval_lfo_combined.yml",
