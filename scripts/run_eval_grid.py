@@ -89,7 +89,7 @@ def _em_sim_variants(base_cfg):
             if kind == "lstm":
                 c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r1__{effect}.npz"
             else:
-                c["ckpt_path"] = f"models/rand_tri_band__{effect}.npz"
+                c["ckpt_path"] = f"models/rand_baseline__{effect}.npz"
                 # base_cfg is already include-resolved, so resolve the
                 # baseline model config here too (a raw path string would
                 # reach build_model unexpanded)
