@@ -330,22 +330,30 @@ class RandomAudioChunkDryWetDataset(RandomAudioChunkDataset):
             rng, self.n_samples, self.end_buffer_n_samples
         )
         wet_path = self.name_to_wet[os.path.basename(path)]
-        wet, _ = wav_read(wet_path, start, self.n_samples)
-        if wet.shape[0] > 1:
-            wet = wet[ch_idx : ch_idx + 1]
         base = {
             "mod_sig": np.zeros(self.n_samples // MOD_SIG_DIVISOR, np.float32),
             "fx": default_fx(),
         }
         if self.corpus_index is not None:
             gi = self.corpus_index.global_index
+            if self.should_peak_norm:
+                # wet chunk only needed host-side to compute its norm gain
+                wet, _ = wav_read(wet_path, start, self.n_samples)
+                if wet.shape[0] > 1:
+                    wet = wet[ch_idx : ch_idx + 1]
+                wet_gain = self._norm_gain(wet)
+            else:
+                wet_gain = 1.0  # skip the wet read: gain is identity
             return {
                 "dry_idx": np.int32(gi(path, ch_idx, start)),
                 "dry_gain": np.float32(self._norm_gain(dry)),
                 "wet_idx": np.int32(gi(wet_path, ch_idx, start)),
-                "wet_gain": np.float32(self._norm_gain(wet)),
+                "wet_gain": np.float32(wet_gain),
                 **base,
             }
+        wet, _ = wav_read(wet_path, start, self.n_samples)
+        if wet.shape[0] > 1:
+            wet = wet[ch_idx : ch_idx + 1]
         return {
             "dry": self._maybe_norm(dry),
             "wet": self._maybe_norm(wet),

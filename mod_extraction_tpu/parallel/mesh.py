@@ -53,20 +53,54 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """Feed a pytree of host arrays with batch-axis sharding.
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a pytree of host arrays across the whole mesh.
 
-    Single-host: plain device_put.  Multi-host (a mesh spanning
-    processes under `jax.distributed.initialize()`): each host holds its
-    process-local SLICE of the global batch, assembled into one global
-    array via `make_array_from_process_local_data` — the host-side
-    counterpart of the DCN/ICI layout described in the module docstring."""
-    sharding = batch_sharding(mesh, axis)
+    Single-host: plain device_put.  Multi-host: `jax.device_put` from one
+    process's host buffer cannot populate non-addressable devices, so the
+    fully-replicated global array is assembled with
+    `make_array_from_process_local_data` (every process holds the full
+    value, which IS its process-local portion of a replicated array).
+    Every process must hold identical data — true here because corpora
+    are built from config-seeded generators."""
+    sharding = replicated_sharding(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)
             ),
-            batch,
+            tree,
         )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Feed a pytree of host arrays with batch-axis sharding.
+
+    The input is the FULL GLOBAL batch on every host (loaders are
+    config-seeded, so all processes draw identical batches).
+
+    Single-host: plain device_put.  Multi-host (a mesh spanning
+    processes under `jax.distributed.initialize()`): each process slices
+    out the contiguous row-block that lands on its addressable devices
+    and the global array is assembled with
+    `make_array_from_process_local_data`, so the global batch is
+    identical to the single-host batch (same size, same examples) —
+    hosts just feed disjoint slices of it."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        pi, pc = jax.process_index(), jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            if x.shape[0] % pc != 0:
+                raise ValueError(
+                    f"global batch dim {x.shape[0]} not divisible by "
+                    f"process_count {pc}"
+                )
+            per = x.shape[0] // pc
+            local = x[pi * per : (pi + 1) * per]
+            return jax.make_array_from_process_local_data(sharding, local)
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -113,9 +113,9 @@ class Trainer:
         compiled step evaluates whatever corpus each call supplies."""
         payload = getattr(self.dm, "corpus_payload", lambda: None)()
         if payload is not None:
-            from mod_extraction_tpu.parallel.mesh import replicated_sharding
+            from mod_extraction_tpu.parallel.mesh import put_replicated
 
-            self.corpus = jax.device_put(payload, replicated_sharding(self.mesh))
+            self.corpus = put_replicated(payload, self.mesh)
 
     def fit(self) -> Any:
         self.dm.setup("fit")
