@@ -14,11 +14,13 @@ TPU-native re-design of the reference's effect renderers:
 * `apply_phaser` — replaces the host-side pedalboard (JUCE C++) `Phaser`
   (`datasets.py:455-482`).  Topology: cascade of 6 first-order TPT
   (topology-preserving transform) allpass filters whose shared cutoff is
-  swept log-spaced between 10 Hz and 20 kHz by a sine LFO centered at
-  `centre_frequency_hz`, with global feedback and a linear dry/wet mix —
-  the published structure of `juce::dsp::Phaser`, which pedalboard wraps.
-  The ground-truth mod signal (sin, matching `datasets.py:442`) aligns
-  with this LFO.
+  swept log-spaced between 20 Hz and min(20 kHz, 0.49*fs) by a sine LFO
+  centered at `centre_frequency_hz` (updated every 4 samples), with
+  global feedback and a linear dry/wet mix — the published structure of
+  `juce::dsp::Phaser`, which pedalboard wraps.  Numerically pinned to
+  the independent oracle port in `tests/juce_phaser_oracle.py`
+  (`tests/test_phaser_parity.py`).  The ground-truth mod signal follows
+  `datasets.py:442` (`make_mod_signal(..., pi/2, "cos")`).
 
 All renderers are data generators (the reference runs them under
 `no_grad`, `fx.py:129`), so none of them need custom VJPs.
@@ -174,13 +176,24 @@ def _pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def map_from_log10(f, f_min: float = 10.0, f_max: float = 20000.0):
+#: JUCE `dsp::Phaser` cutoff-sweep bounds: 20 Hz .. min(20 kHz, 0.49*fs)
+PHASER_FREQ_MIN = 20.0
+#: JUCE `dsp::Phaser` updates the filter cutoff every 4 samples; its LFO
+#: oscillator runs on a 4x-downsampled spec.
+PHASER_UPDATE_EVERY = 4
+
+
+def phaser_freq_max(sr: float) -> float:
+    return min(20000.0, 0.49 * sr)
+
+
+def map_from_log10(f, f_min: float = PHASER_FREQ_MIN, f_max: float = 20000.0):
     """Normalized log-position of frequency f in [f_min, f_max] (JUCE
     `mapFromLog10`)."""
     return jnp.log10(jnp.asarray(f, jnp.float32) / f_min) / jnp.log10(f_max / f_min)
 
 
-def map_to_log10(x, f_min: float = 10.0, f_max: float = 20000.0):
+def map_to_log10(x, f_min: float = PHASER_FREQ_MIN, f_max: float = 20000.0):
     """Inverse of `map_from_log10`."""
     return f_min * jnp.power(f_max / f_min, x)
 
@@ -227,10 +240,13 @@ def apply_phaser(
     """Time-varying allpass-cascade phaser (pedalboard/JUCE-style).
 
     Replaces `apply_pedalboard_phaser` (`datasets.py:455-482`) with an
-    on-device renderer.  The LFO is a sine starting at `phase` (radians);
-    the reference's GT mod signal for the phaser is exactly this sine
-    normalized to [0, 1] (`make_mod_signal(..., pi/2, "cos")`,
-    `datasets.py:442`), so we return it alongside the audio.
+    on-device renderer matching the JUCE topology numerically
+    (tests/test_phaser_parity.py vs tests/juce_phaser_oracle.py).
+    `phase` (radians) shifts both the sweep and the GT mod signal
+    coherently — the uniform-random-phase equivalent of the reference's
+    render-longer-then-random-crop.  The returned GT mod signal follows
+    the reference convention (`make_mod_signal(..., pi/2, "cos")`,
+    `datasets.py:442`), which is ANTIPHASE to the JUCE sweep LFO.
 
     Returns: (wet (B, C, T) clipped to [-1, 1], mod_sig (B, T) in [0, 1]).
     """
@@ -242,20 +258,33 @@ def apply_phaser(
     feedback_b = _param_bc(feedback, b, 3)
     mix_b = _param_bc(mix, b, 3)
     centre = jnp.asarray(centre_frequency_hz, jnp.float32).reshape(-1)
+    f_max = phaser_freq_max(sr)
 
-    # sine LFO with the reference's cumsum phase convention
+    # GT mod signal: reference `make_mod_signal(n, sr, rate, pi/2, "cos")`
+    # (`datasets.py:442`) == (sin(2*pi*f*(i+1)/sr + phase) + 1) / 2 with
+    # the cumsum-from-1 convention.  `phase` here is our uniform-phase
+    # shortcut for the reference's render-longer-then-random-crop.
     i = jnp.arange(1, t + 1, dtype=jnp.float32)
     arg = (2.0 * jnp.pi / sr) * rate_hz[:, None] * i[None, :] + phase[:, None]
-    lfo = jnp.sin(arg)  # (B, T)
-    mod_sig = (lfo + 1.0) / 2.0
+    mod_sig = (jnp.sin(arg) + 1.0) / 2.0
 
-    norm_centre = map_from_log10(centre)[:, None]  # (B, 1)
+    # Cutoff sweep, exact JUCE `dsp::Phaser` semantics (oracle:
+    # tests/juce_phaser_oracle.py): the osc runs at sr/4 and emits
+    # -sin(2*pi*f*t) (JUCE Oscillator evaluates sin(phase - pi)); the
+    # cutoff is held for 4 samples per update.  Note the sweep LFO is
+    # ANTIPHASE to the GT mod signal — mod_sig high <=> cutoff low —
+    # matching the reference pipeline's (wet, GT) relationship.
+    upd = PHASER_UPDATE_EVERY
+    n_upd = -(-t // upd)
+    k4 = jnp.arange(n_upd, dtype=jnp.float32) * float(upd)
+    arg_u = (2.0 * jnp.pi / sr) * rate_hz[:, None] * k4[None, :] + phase[:, None]
+    lfo_u = -jnp.sin(arg_u)  # (B, n_upd)
+    norm_centre = map_from_log10(centre, f_max=f_max)[:, None]  # (B, 1)
     swing = 0.5 * depth_b[:, :, 0]  # oscVolume = depth / 2
-    pos01 = jnp.clip(norm_centre + swing * lfo, 0.0, 1.0)  # (B, T)
-    fc = map_to_log10(pos01)
-    # TPT prewarp; clamp below Nyquist for numerical safety
-    fc = jnp.minimum(fc, 0.49 * sr)
-    g = jnp.tan(jnp.pi * fc / sr)  # (B, T)
+    pos01 = jnp.clip(norm_centre + swing * lfo_u, 0.0, 1.0)
+    fc = map_to_log10(pos01, f_max=f_max)
+    g_u = jnp.tan(jnp.pi * fc / sr)  # (B, n_upd), TPT prewarp
+    g = jnp.repeat(g_u, upd, axis=1)[:, :t]
     g_all = jnp.broadcast_to(g[:, None, :], (b, c, t))
 
     if implementation in ("pallas", "auto") and _pallas_available():

@@ -32,7 +32,12 @@ from mod_extraction_tpu.data.datasets import (
     EFFECT_TREMOLO,
     MOD_SIG_DIVISOR,
 )
-from mod_extraction_tpu.ops.fx import apply_phaser, apply_tremolo, flanger_delay_line
+from mod_extraction_tpu.ops.fx import (
+    apply_phaser,
+    apply_tremolo,
+    flanger_delay_line,
+    phaser_freq_max,
+)
 from mod_extraction_tpu.utils.interp import linear_interpolate_last_dim
 
 
@@ -130,7 +135,8 @@ def render_batch(
             cfg.sr,
             jnp.maximum(fx["rate_hz"], 1e-3),
             fx["depth"],
-            jnp.maximum(fx["centre_frequency_hz"], 10.0),
+            # JUCE-valid centre range (sweep bounds are 20..0.49*fs)
+            jnp.clip(fx["centre_frequency_hz"], 20.0, phaser_freq_max(cfg.sr)),
             fx["feedback"],
             fx["mix"],
             phase=fx["phase"],
