@@ -79,38 +79,54 @@ def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
     return audio_sec / dt
 
 
-def bench_reference_torch_cpu() -> float:
-    """Reference-style per-sample flanger loop (torch, host CPU), measured
-    on a small slice and extrapolated: the reference pipeline is render-
-    bound, so audio-sec/sec ~= 1 / (render seconds per audio second)."""
+def bench_reference_torch_cpu(n_reps: int = 2) -> float:
+    """Reference-style per-sample flanger loop (torch, host CPU).
+
+    Measures full 2-second example renders (the reference's actual chunk
+    length, `fx.py:104-115`) at batch 4, `n_reps` timed repetitions after
+    a short warmup rep.  The reference pipeline is render-bound (the loop
+    runs per training batch on host, `data_modules.py:419-458`), so
+    audio-sec/sec == rendered audio seconds / wall seconds.  NOT
+    extrapolated from a sub-second slice — the loop is timed at the real
+    per-example length, so per-iteration overheads are fully included."""
     import torch as tr
 
-    b, c, t = 4, 1, 11025  # 0.25 s slices
     sr = 44100.0
     d = 485
-    x = tr.rand(b, c, t) * 0.5
-    mod = tr.rand(b, c, t)
-    feedback = tr.full((b, 1), 0.3)
-    depth = tr.full((b, 1), 0.8)
-    buf = tr.zeros(b, c, d)
-    out = tr.zeros(b, c, t)
-    delay = mod * 440.0 + 20.0
-    write_idx_all = tr.arange(t) % d
-    read_idx_all = (write_idx_all.view(1, 1, -1) - delay + d) % d
-    frac_all = read_idx_all - tr.floor(read_idx_all)
-    prev_all = tr.floor(read_idx_all).long()
-    next_all = (prev_all + 1) % d
 
-    t0 = time.perf_counter()
-    with tr.no_grad():
-        for i in range(t):
-            prev_v = tr.gather(buf, -1, prev_all[:, :, i].unsqueeze(-1)).squeeze(-1)
-            next_v = tr.gather(buf, -1, next_all[:, :, i].unsqueeze(-1)).squeeze(-1)
-            interp = frac_all[:, :, i] * next_v + (1 - frac_all[:, :, i]) * prev_v
-            buf[:, :, write_idx_all[i]] = x[:, :, i] + feedback * interp
-            out[:, :, i] = x[:, :, i] + depth * interp
-    dt = time.perf_counter() - t0
-    audio_sec = b * t / sr
+    def render(b: int, t: int) -> float:
+        x = tr.rand(b, 1, t) * 0.5
+        mod = tr.rand(b, 1, t)
+        feedback = tr.full((b, 1), 0.3)
+        depth = tr.full((b, 1), 0.8)
+        buf = tr.zeros(b, 1, d)
+        out = tr.zeros(b, 1, t)
+        delay = mod * 440.0 + 20.0
+        write_idx_all = tr.arange(t) % d
+        read_idx_all = (write_idx_all.view(1, 1, -1) - delay + d) % d
+        frac_all = read_idx_all - tr.floor(read_idx_all)
+        prev_all = tr.floor(read_idx_all).long()
+        next_all = (prev_all + 1) % d
+        t0 = time.perf_counter()
+        with tr.no_grad():
+            for i in range(t):
+                prev_v = tr.gather(
+                    buf, -1, prev_all[:, :, i].unsqueeze(-1)
+                ).squeeze(-1)
+                next_v = tr.gather(
+                    buf, -1, next_all[:, :, i].unsqueeze(-1)
+                ).squeeze(-1)
+                interp = (
+                    frac_all[:, :, i] * next_v + (1 - frac_all[:, :, i]) * prev_v
+                )
+                buf[:, :, write_idx_all[i]] = x[:, :, i] + feedback * interp
+                out[:, :, i] = x[:, :, i] + depth * interp
+        return time.perf_counter() - t0
+
+    b, t = 4, 88200  # the reference's 2 s @ 44.1 kHz chunks
+    render(b, 11025)  # warmup (allocator, thread pools)
+    dt = sum(render(b, t) for _ in range(n_reps))
+    audio_sec = n_reps * b * t / sr
     return audio_sec / dt
 
 

@@ -61,9 +61,12 @@ def _render(effect: str, rng, dry: np.ndarray):
         mod = make_mod_signal_batch(
             SEG, SR, freq, phase, jnp.full(n_pairs, shape_to_idx("tri"))
         )
+        # tamer than round 1 (feedback 0.4, 18 ms min delay): the LSTM-64
+        # has to approximate the delay with its state, so a milder regime
+        # is where conditioning on the true LFO can actually pay off
         return apply_flanger_chorus(
             x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
-            feedback=0.4, min_delay_width=0.6, width=0.8, depth=0.9, mix=0.9,
+            feedback=0.25, min_delay_width=0.4, width=0.6, depth=0.8, mix=0.85,
         )
     if effect == "sim_flanger":
         mods = []
@@ -74,9 +77,15 @@ def _render(effect: str, rng, dry: np.ndarray):
             )
             mods.append(make_quasi_periodic(rng, m))
         mod = jnp.asarray(np.stack(mods).astype(np.float32))
+        # round 1 used a 0.2-9.2 ms sweep at feedback 0.6 and got NO
+        # conditioning win (esr 0.412 vs rand 0.439) — too hard for an
+        # LSTM-64 either way.  This is the reference's own flanger regime
+        # (gen_idmt_fl: max_min 1 ms, max_lfo 4 ms, feedback 0.25) with a
+        # 1.0-3.0 ms sweep, mirroring the Melda-flanger-quasi setting
+        # where the reference's big win lives (esr 0.1369 vs 0.5069).
         return apply_flanger_chorus(
-            x, mod, SR, max_min_delay_ms=1.0, max_lfo_delay_ms=10.0,
-            feedback=0.6, min_delay_width=0.2, width=0.9, depth=1.0, mix=0.8,
+            x, mod, SR, max_min_delay_ms=1.0, max_lfo_delay_ms=4.0,
+            feedback=0.25, min_delay_width=1.0, width=0.5, depth=1.0, mix=0.9,
         )
     if effect == "sim_phaser":
         rate = jnp.asarray(rng.uniform(0.5625, 0.9375, n_pairs).astype(np.float32))
@@ -129,7 +138,7 @@ def main(argv) -> None:
     for e_i, effect in enumerate(effects):
         rng = np.random.default_rng(7 + e_i)
         for split, src_dir, n_pairs in (
-            ("train", src_train, 24), ("val", src_val, 8),
+            ("train", src_train, 48), ("val", src_val, 8),
         ):
             dry = _load_dry(rng, src_dir, n_pairs)
             wet = np.asarray(_render(effect, rng, dry))

@@ -115,7 +115,140 @@ def render_pads(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarra
     return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
 
 
-STYLES = {"riffs": render_riff, "pads": render_pads}
+def render_vocal(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarray:
+    """Solo voice-like line: harmonic source with formant-shaped partials,
+    5-6 Hz vibrato, portamento between notes and breathy phrase gaps —
+    the VocalSet stand-in for the unseen-audio eval."""
+    out = np.zeros(n_samples)
+    beat = 60.0 / bpm
+    # a singer's comfortable register + 2-3 formant resonances
+    root = 196.0 * SEMITONE ** rng.integers(0, 10)
+    scale = [0, 2, 4, 5, 7, 9, 11, 12]
+    formants = rng.uniform([450, 1100, 2400], [750, 1600, 3000])
+    fwidths = rng.uniform([80, 120, 250], [140, 220, 400])
+    t = rng.uniform(0.0, 0.3) * beat
+    prev_f0 = root
+    while t * SR < n_samples:
+        dur_beats = rng.choice([1.0, 1.0, 2.0, 2.0, 4.0])
+        if rng.uniform() < 0.15:  # breath pause
+            t += dur_beats * beat
+            prev_f0 = root
+            continue
+        f0_target = root * SEMITONE ** rng.choice(scale)
+        dur = dur_beats * beat
+        n = min(int(dur * SR), n_samples - int(t * SR))
+        if n <= 0:
+            break
+        tt = np.arange(n) / SR
+        # portamento from the previous pitch + vibrato ramping in
+        glide = f0_target + (prev_f0 - f0_target) * np.exp(-tt / 0.06)
+        vib_rate = rng.uniform(4.5, 6.0)
+        vib_depth = 2.0 ** (rng.uniform(15, 40) / 1200.0) - 1.0  # cents
+        vib_env = np.clip((tt - 0.15) / 0.25, 0, 1)
+        f0_t = glide * (1.0 + vib_depth * vib_env * np.sin(2 * np.pi * vib_rate * tt))
+        phase = 2 * np.pi * np.cumsum(f0_t) / SR
+        seg = np.zeros(n)
+        for h in range(1, 24):
+            fh = f0_target * h
+            if fh > 0.45 * SR:
+                break
+            # formant envelope: sum of gaussian resonances + tilt
+            fenv = sum(
+                a * np.exp(-0.5 * ((fh - fc) / fw) ** 2)
+                for a, fc, fw in zip((1.0, 0.6, 0.35), formants, fwidths)
+            ) + 0.08 / h
+            seg += fenv * np.sin(h * phase)
+        # breath noise, weakly high-passed by differencing
+        breath = np.diff(rng.uniform(-1, 1, n + 1)) * 0.01
+        env = np.clip(tt / 0.08, 0, 1) * np.clip((dur - tt) / 0.12, 0, 1)
+        i = int(t * SR)
+        out[i : i + n] += (seg * 0.25 + breath) * np.clip(env, 0, 1)
+        prev_f0 = f0_target
+        t += dur_beats * beat
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
+
+
+def render_drums(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarray:
+    """Kick/snare/hat groove (idmt_drums stand-in): pitch-dropping sine
+    kicks, noise-burst snares, short HF hats on a 16th grid with ring-out
+    so 2 s chunks stay above the silence threshold."""
+    out = np.zeros(n_samples + SR)
+    step = 60.0 / bpm / 4.0  # 16th notes
+
+    def kick(n):
+        tt = np.arange(n) / SR
+        f = 50.0 + 90.0 * np.exp(-tt / 0.03)
+        return np.sin(2 * np.pi * np.cumsum(f) / SR) * np.exp(-tt / 0.18)
+
+    def snare(n):
+        tt = np.arange(n) / SR
+        noise = rng.uniform(-1, 1, n)
+        # crude bandpass: difference (HP) then 2-tap average (LP)
+        noise = np.diff(noise, prepend=0.0)
+        noise = 0.5 * (noise + np.concatenate(([0.0], noise[:-1])))
+        tone = 0.4 * np.sin(2 * np.pi * 190.0 * tt)
+        return (noise + tone) * np.exp(-tt / 0.09)
+
+    def hat(n):
+        tt = np.arange(n) / SR
+        noise = np.diff(rng.uniform(-1, 1, n), prepend=0.0)  # high-passed
+        return noise * np.exp(-tt / 0.025)
+
+    n_steps = int(n_samples / SR / step) + 1
+    for s in range(n_steps):
+        i = int(s * step * SR)
+        beat_in_bar = s % 16
+        if beat_in_bar in (0, 8) or rng.uniform() < 0.08:
+            n = int(0.5 * SR)
+            out[i : i + n] += 0.9 * kick(n)[: len(out) - i]
+        if beat_in_bar in (4, 12) or rng.uniform() < 0.06:
+            n = int(0.35 * SR)
+            out[i : i + n] += 0.6 * snare(n)[: len(out) - i]
+        if beat_in_bar % 2 == 0 or rng.uniform() < 0.3:
+            n = int(0.12 * SR)
+            out[i : i + n] += rng.uniform(0.15, 0.35) * hat(n)[: len(out) - i]
+    out = out[:n_samples]
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
+
+
+def render_bass(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarray:
+    """Low monophonic KS bassline (mdb_bass stand-in): one octave below
+    the guitar register, longer sustains, heavier damping filter."""
+    out = np.zeros(n_samples + SR)
+    beat = 60.0 / bpm
+    root = (_E2 / 2.0) * SEMITONE ** rng.integers(0, 7)
+    scale = [0, 3, 5, 7, 10, 12]
+    t = rng.uniform(0.0, 0.25) * beat
+    while t * SR < n_samples:
+        dur_beats = rng.choice([1.0, 1.0, 2.0, 2.0, 4.0])
+        if rng.uniform() < 0.08:
+            t += dur_beats * beat
+            continue
+        freq = root * SEMITONE ** rng.choice(scale)
+        dur = dur_beats * beat * rng.uniform(1.2, 1.8)
+        n = int(dur * SR)
+        note = karplus_strong(rng, freq, n, rng.uniform(0.997, 0.9995))
+        # mellow the pluck: 4-tap moving average (gentle lowpass)
+        k = np.ones(4) / 4.0
+        note = np.convolve(note, k, mode="same")
+        note *= rng.uniform(0.5, 0.9) * np.exp(-np.arange(n) / (dur * SR))
+        i = int(t * SR)
+        out[i : i + n] += note[: max(0, len(out) - i)]
+        t += dur_beats * beat
+    out = np.tanh(1.2 * out[:n_samples])
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
+
+
+STYLES = {
+    "riffs": render_riff,
+    "pads": render_pads,
+    "vocal": render_vocal,
+    "drums": render_drums,
+    "bass": render_bass,
+}
 
 
 def main() -> None:

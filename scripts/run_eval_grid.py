@@ -2,7 +2,7 @@
 analog of regenerating the reference's golden `eval/*.txt` files
 (SURVEY.md §4: the archived tables ARE the de-facto regression suite).
 
-Usage: python scripts/run_eval_grid.py [--per-shape] [--em-sim] [out_dir] [config ...]
+Usage: python scripts/run_eval_grid.py [--per-shape] [--em-sim] [--rand-suite] [out_dir] [config ...]
 Writes one `<config_name>.txt` per eval config; failures are recorded in
 the file instead of aborting the grid.  `--per-shape` additionally runs
 LFO-shape sweeps for configs whose fx_config pins a mod_sig shape list,
@@ -11,7 +11,13 @@ layout: per-shape tables plus the all-shapes table).  `--em-sim` runs
 the effect-model suite over the device-rendered sim corpora instead:
 per effect, the extractor-driven LSTM-64 table then the random-LFO
 baseline table, label after its tables (the reference's
-eval_em_unseen_effect.txt layout).
+eval_em_unseen_effect.txt layout).  `--rand-suite` regenerates the full
+23-table random-LFO anchor file (base/quasi/distorted/combined
+conditions, reference eval_lfo_rand.txt layout) — checkpoint- and
+audio-independent, so directly comparable with the reference's numbers.
+`--unseen-audio` runs the 3-effects x N-domains x {fixed,varying} sweep
+over the synthetic unseen-audio corpora (reference
+eval_lfo_unseen_audio.txt layout).
 """
 
 import os
@@ -54,6 +60,93 @@ def _shape_variants(cfg):
         c["data"]["init_args"]["fx_config"]["mod_sig"]["shapes"] = [shape]
         yield shape, c
     yield "all", cfg
+
+
+# Rand-anchor suite (reference eval/eval_lfo_rand.txt: 23 tables over 4
+# conditions): the RandomLFO baseline scored against each condition's GT
+# mod-sig distribution.  These rows depend only on the synthetic mod-sig
+# distributions — not on audio content or trained checkpoints — so they
+# are apples-to-apples comparable with the reference's archived numbers
+# (anchors: base 0.2811 `:89`, quasi 0.2912 `:185`, distorted 0.3110
+# `:280`, combined 0.3426 `:310`).
+RAND_CONDITIONS = [
+    ("", None),  # base: eval_lfo_rand.yml's own mod_sig block
+    ("quasi", "eval_lfo_quasi.yml"),
+    ("distorted", "eval_lfo_distorted.yml"),
+    ("combined", "eval_lfo_combined.yml"),
+]
+
+# the reference's "combined symmetrical" table restricts the shape pool
+# to the waveforms with mirror symmetry (saw/rsaw are the asymmetric two)
+SYMMETRICAL_SHAPES = ["cos", "tri", "rect_cos", "inv_rect_cos"]
+
+
+def _rand_suite_variants(base_cfg):
+    """Yield (label, cfg) for all 23 reference rand tables.  Every
+    variant shares the RandomLFO model block and the audio-only data
+    module — only the host-side mod-sig distribution changes, so one
+    validate_many call serves the entire suite."""
+    import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    for cond, src in RAND_CONDITIONS:
+        cfg = copy.deepcopy(base_cfg)
+        if src is not None:
+            ms = load_yaml_with_includes(src)
+            ms = ms["data"]["init_args"]["fx_config"]["mod_sig"]
+            cfg["data"]["init_args"]["fx_config"]["mod_sig"] = copy.deepcopy(ms)
+        if cond == "combined":
+            sym = copy.deepcopy(cfg)
+            sym["data"]["init_args"]["fx_config"]["mod_sig"]["shapes"] = list(
+                SYMMETRICAL_SHAPES
+            )
+            yield "combined symmetrical", sym
+            yield "combined all", cfg
+        else:
+            for label, c in _shape_variants(cfg):
+                yield (f"{cond} {label}".strip(), c)
+
+
+# Unseen-audio sweep (reference eval/eval_lfo_unseen_audio.txt: 30
+# tables = 3 effects x 5 domains x {fixed, varying} params).  Domains
+# here are self-contained synthetic stand-ins from
+# scripts/make_synthetic_corpus.py --style <d> (the reference uses
+# MedleyDB/VocalSet/IDMT-drums): corpora live at data/unseen_<d>/val.
+# Block order mirrors the reference file: ph fixed, ph varying, fl
+# fixed, ch fixed, fl varying, ch varying.
+UNSEEN_DOMAINS = ("pads", "vocal", "drums", "bass")
+UNSEEN_EFFECT_CONFIGS = [
+    ("ph", "fixed", "eval_lfo.yml"),
+    ("ph", "varying", "eval_lfo_varying.yml"),
+    ("fl", "fixed", "eval_lfo_flanger.yml"),
+    ("ch", "fixed", "eval_lfo_chorus.yml"),
+    ("fl", "varying", "eval_lfo_flanger_varying.yml"),
+    ("ch", "varying", "eval_lfo_chorus_varying.yml"),
+]
+
+
+def _unseen_audio_groups():
+    """Yield (group_label, [(label, cfg), ...]) — one group per
+    effect+condition (same model + RenderConfig across its domains, so
+    each group is one validate_many call)."""
+    import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    for eff, cond, cfg_name in UNSEEN_EFFECT_CONFIGS:
+        base = load_yaml_with_includes(cfg_name)
+        variants = []
+        for domain in UNSEEN_DOMAINS:
+            d = f"data/unseen_{domain}/val"
+            if not os.path.isdir(d):
+                variants.append((f"{eff} {domain} {cond}", None))
+                continue
+            c = copy.deepcopy(base)
+            c["data"]["init_args"]["train_dir"] = d
+            c["data"]["init_args"]["val_dir"] = d
+            variants.append((f"{eff} {domain} {cond}", c))
+        yield f"{eff} {cond}", variants
 
 
 # (effect, baseline lfo_model config) for the --em-sim suite; bands per
@@ -109,11 +202,42 @@ if __name__ == "__main__":
     def table(metrics):
         return format_validate_table({f"val/{k}": v for k, v in metrics.items()})
 
-    args = [a for a in sys.argv[1:] if a not in ("--per-shape", "--em-sim")]
+    FLAGS = ("--per-shape", "--em-sim", "--rand-suite", "--unseen-audio")
+    args = [a for a in sys.argv[1:] if a not in FLAGS]
     per_shape = "--per-shape" in sys.argv[1:]
     em_sim = "--em-sim" in sys.argv[1:]
+    rand_suite = "--rand-suite" in sys.argv[1:]
+    unseen_audio = "--unseen-audio" in sys.argv[1:]
     out_dir = ensure_dir(args[0] if args else "out/eval")
-    grid = args[1:] or (["eval_em_sim.yml"] if em_sim else DEFAULT_GRID)
+    if unseen_audio:
+        # domain sweep has its own grouping; handled before the main loop
+        target = os.path.join(out_dir, "eval_lfo_unseen_audio.txt")
+        print(f"=== unseen-audio sweep -> {target}")
+        blocks = []
+        for group, variants in _unseen_audio_groups():
+            live = [(lb, c) for lb, c in variants if c is not None]
+            try:
+                results = dict(validate_many(live)) if live else {}
+            except Exception:
+                blocks.append(f"FAILED ({group}):\n{traceback.format_exc()}")
+                continue
+            for label, c in variants:
+                if c is None:
+                    blocks.append(
+                        f"SKIPPED (missing corpus): {label} — generate with "
+                        "scripts/make_synthetic_corpus.py "
+                        f"data/unseen_{label.split()[1]} 0 10 12 "
+                        f"--style {label.split()[1]}\n"
+                    )
+                else:
+                    blocks.append(f"{table(results[label])}\n{label}\n")
+        with open(target, "w") as f:
+            f.write("\n".join(blocks) + "\n")
+        sys.exit(0)
+    if rand_suite:
+        grid = args[1:] or ["eval_lfo_rand.yml"]
+    else:
+        grid = args[1:] or (["eval_em_sim.yml"] if em_sim else DEFAULT_GRID)
     for name in grid:
         target = os.path.join(
             out_dir, os.path.splitext(os.path.basename(name))[0] + ".txt"
@@ -140,9 +264,12 @@ if __name__ == "__main__":
                     blocks.append(table(lstm[i][1]))
                     blocks.append(f"{table(rand[i][1])}\n{effect}\n")
             else:
-                variants = (
-                    list(_shape_variants(cfg)) if per_shape else [("", cfg)]
-                )
+                if rand_suite:
+                    variants = list(_rand_suite_variants(cfg))
+                else:
+                    variants = (
+                        list(_shape_variants(cfg)) if per_shape else [("", cfg)]
+                    )
                 for label, metrics in validate_many(variants):
                     t = table(metrics)
                     blocks.append(f"{t}\n{label}\n" if label else t)

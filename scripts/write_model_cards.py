@@ -1,0 +1,213 @@
+"""Emit a `models/<name>.yml` card next to every shipped `models/<name>.npz`.
+
+The reference pairs every shipped weight file with a `.yml` documenting
+its training configuration (`/root/reference/models/*.yml`, 23 files).
+This framework's equivalent card records: provenance (trained here vs
+imported reference weights), the training config (path + include-resolved
+copy), the parent extractor for stage-2 models, the corpus and its
+regeneration command, and the final epoch's metrics pulled from the run's
+`out/<run>_metrics.jsonl` when it is still on disk.
+
+Usage: python scripts/write_model_cards.py [models_dir]
+Re-runnable; run it again after exporting a new `.npz`.
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+R2_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2.npz"
+
+# stem -> card fields.  `metrics_run` names the out/<run>_metrics.jsonl
+# written by the Trainer for that training (may no longer exist — cards
+# then record what ROUND_NOTES.md archives).
+REGISTRY = {
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2": dict(
+        kind="trained",
+        train_config="configs/train_lfo_interwoven_all_live.yml",
+        metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes=(
+            "Flagship LFO extractor: Spectral2DCNN trained ~470 epochs on "
+            "live on-device interwoven phaser+flanger+chorus rendering "
+            "(device_corpus path).  Drives every eval_lfo_*.txt table and "
+            "conditions the stage-2 sim effect models."
+        ),
+    ),
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_live_r1": dict(
+        kind="trained",
+        train_config="configs/train_lfo_interwoven_all_live.yml",
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes="Earlier (round-1, ~229-epoch) snapshot of the interwoven "
+        "extractor; superseded by the _r2 checkpoint.",
+    ),
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__ph_fl_ch_all_2__idmt_4": dict(
+        kind="trained",
+        train_config="configs/train_lfo_phaser.yml",
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes=(
+            "Phaser-only extractor, 30 TPU-trained epochs (val/l1 0.0188); "
+            "fills the reference grid slot of "
+            "lfo_2dcnn_io_sa_25_25_no_ch_ln__ph_fl_ch_all_2__idmt_4__"
+            "epoch_197_step_15840 as the eval_em_unseen_effect extractor."
+        ),
+    ),
+    "lstm_64__lfo_2dcnn_r2__sim_chorus": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_chorus.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r2__sim_chorus",
+        parent_extractor=R2_EXTRACTOR,
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
+        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
+        "conditioned on the frozen r2 extractor's LFO estimate.",
+    ),
+    "lstm_64__lfo_2dcnn_r2__sim_flanger": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_flanger.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r2__sim_flanger",
+        parent_extractor=R2_EXTRACTOR,
+        corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
+        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
+        "conditioned on the frozen r2 extractor's LFO estimate.",
+    ),
+    "lstm_64__lfo_2dcnn_r2__sim_phaser": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_phaser.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r2__sim_phaser",
+        parent_extractor=R2_EXTRACTOR,
+        corpus="data/sim_phaser (scripts/make_sim_effect_data.py)",
+        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs "
+        "(eval_em_sim esr 0.096 vs rand baseline 0.786).",
+    ),
+    "lstm_64__lfo_2dcnn_r1__sim_chorus": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_chorus.yml",
+        parent_extractor="models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_live_r1.npz",
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
+        notes="Round-1 stage-2 chorus model driven by the r1 extractor; "
+        "superseded by the _r2 version.",
+    ),
+    "rand_baseline__sim_chorus": dict(
+        kind="trained",
+        train_config="configs/train_baseline_em_sim.yml",
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
+        notes="RandomLFO-conditioned LSTM-64 baseline (40 epochs) — the "
+        "reference's second table per effect in eval_em_unseen_effect.txt.",
+    ),
+    "rand_baseline__sim_flanger": dict(
+        kind="trained",
+        train_config="configs/train_baseline_em_sim_flanger.yml",
+        corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
+        notes="RandomLFO-conditioned LSTM-64 baseline (40 epochs).",
+    ),
+    "rand_baseline__sim_phaser": dict(
+        kind="trained",
+        train_config="configs/train_baseline_em_sim_phaser.yml",
+        corpus="data/sim_phaser (scripts/make_sim_effect_data.py)",
+        notes="RandomLFO-conditioned LSTM-64 baseline (40 epochs).",
+    ),
+}
+
+# imported reference weights: stem -> reference .pt filename
+REFERENCE_IMPORTS = {
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_fl_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_fl_2_peak__epoch_20_step_55776.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ph_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ph_2_peak__epoch_35_step_95616.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_fl_irregular": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_fl_irregular__epoch_202_step_673960.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_fl_quasi": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_fl_quasi__epoch_207_step_690560.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_ph_irregular": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_ph_irregular__epoch_199_step_664000.pt",
+    "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_ph_quasi": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__melda_ph_quasi__epoch_241_step_803440.pt",
+}
+
+
+def final_epoch_metrics(run: str):
+    """Last epoch-phase record from out/<run>_metrics.jsonl, if present."""
+    path = os.path.join("out", f"{run}_metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    last = None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("phase") == "epoch":
+                last = rec
+    return last
+
+
+def build_card(stem: str):
+    import yaml
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    if stem in REFERENCE_IMPORTS:
+        card = {
+            "name": stem,
+            "weights": f"models/{stem}.npz",
+            "kind": "imported_reference",
+            "source": f"reference models/{REFERENCE_IMPORTS[stem]}",
+            "imported_with": "scripts/import_reference_weights.py (kind=lstm)",
+            "notes": (
+                "Reference-trained LSTM-64 weights converted to this "
+                "framework's .npz format; used for numerical parity tests "
+                "(tests/test_reference_ckpt_parity.py) and the "
+                "eval_em_unseen_effect config grid."
+            ),
+        }
+        return card
+    info = REGISTRY.get(stem)
+    if info is None:
+        return None
+    card = {
+        "name": stem,
+        "weights": f"models/{stem}.npz",
+        "kind": info["kind"],
+        "train_config": info["train_config"],
+        "corpus": info["corpus"],
+        "notes": info["notes"],
+    }
+    if "parent_extractor" in info:
+        card["parent_extractor"] = info["parent_extractor"]
+    rec = final_epoch_metrics(info.get("metrics_run", ""))
+    if rec is not None:
+        card["epochs_trained"] = int(rec.get("epoch", -1)) + 1
+        card["final_val_metrics"] = {
+            k.split("/", 1)[1]: round(float(v), 6)
+            for k, v in rec.items()
+            if k.startswith("val/")
+        }
+    try:
+        card["resolved_config"] = load_yaml_with_includes(info["train_config"])
+    except Exception as e:  # config may reference absent local data
+        card["resolved_config_error"] = str(e)
+    return card
+
+
+if __name__ == "__main__":
+    import yaml
+
+    models_dir = sys.argv[1] if len(sys.argv) > 1 else "models"
+    missing = []
+    for npz in sorted(glob.glob(os.path.join(models_dir, "*.npz"))):
+        stem = os.path.splitext(os.path.basename(npz))[0]
+        card = build_card(stem)
+        if card is None:
+            missing.append(stem)
+            continue
+        out_path = os.path.join(models_dir, f"{stem}.yml")
+        with open(out_path, "w") as f:
+            f.write(
+                "# Model card (reference models/*.yml convention): "
+                "provenance + config\n# for the sibling .npz. "
+                "Regenerate with scripts/write_model_cards.py.\n"
+            )
+            yaml.safe_dump(card, f, sort_keys=False, default_flow_style=False)
+        print(f"wrote {out_path}")
+    if missing:
+        print(f"NO CARD REGISTERED for: {missing}", file=sys.stderr)
+        sys.exit(1)
