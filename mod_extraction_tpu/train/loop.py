@@ -18,6 +18,7 @@ import time
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mod_extraction_tpu.parallel.mesh import make_mesh, shard_batch
@@ -167,12 +168,22 @@ class Trainer:
                     self.profile_dir = None
                 if global_step % self.log_every_n_steps == 0:
                     last = {k: float(v) for k, v in train_acc[-1].items()}
-                    if self.check_finite and not np.isfinite(
-                        last.get("loss", 0.0)
-                    ):
-                        raise FloatingPointError(
-                            f"non-finite loss at step {global_step}: {last}"
+                    if self.check_finite:
+                        # NaN anywhere in the window poisons the mean, so
+                        # one device-side reduction + one scalar pull
+                        # checks every step since the last log point (not
+                        # just the latest) without extra transfers
+                        window = train_acc[-self.log_every_n_steps :]
+                        losses = [m["loss"] for m in window if "loss" in m]
+                        window_mean = (
+                            float(jnp.stack(losses).mean()) if losses else 0.0
                         )
+                        if not np.isfinite(window_mean):
+                            raise FloatingPointError(
+                                f"non-finite loss within the last "
+                                f"{len(window)} steps (at step "
+                                f"{global_step}): latest={last}"
+                            )
                     dt = time.time() - t_step
                     payload = {
                         "phase": "train_step",
