@@ -1,0 +1,77 @@
+"""Variant-generation contracts of scripts/run_eval_grid.py: the
+rand-anchor suite must produce the reference's 23-table layout
+(eval_lfo_rand.txt) and the unseen-audio sweep its 6-group
+effect x domain x condition matrix (eval_lfo_unseen_audio.txt)."""
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "run_eval_grid",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "run_eval_grid.py"),
+)
+_MOD = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_MOD)
+
+SHAPES = ["cos", "tri", "rect_cos", "inv_rect_cos", "saw", "rsaw"]
+
+
+def _rand_variants():
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    cfg = load_yaml_with_includes("eval_lfo_rand.yml")
+    return list(_MOD._rand_suite_variants(cfg))
+
+
+def test_rand_suite_matches_reference_layout():
+    variants = _rand_variants()
+    labels = [lb for lb, _ in variants]
+    want = (
+        SHAPES
+        + ["all"]
+        + [f"quasi {s}" for s in SHAPES]
+        + ["quasi all"]
+        + [f"distorted {s}" for s in SHAPES]
+        + ["distorted all"]
+        + ["combined symmetrical", "combined all"]
+    )
+    assert labels == want  # 23 tables, reference eval_lfo_rand.txt order
+
+
+def test_rand_suite_condition_settings():
+    by_label = dict(_rand_variants())
+
+    def ms(label):
+        return by_label[label]["data"]["init_args"]["fx_config"]["mod_sig"]
+
+    assert ms("quasi all").get("quasiperiodic") is True
+    assert ms("quasi all")["rate_hz"] == {"min": 0.5, "max": 2.0}
+    assert ms("distorted all")["exp"] == 2.0
+    assert ms("combined all").get("combined") is True
+    assert ms("combined all")["rate_hz"] == {"min": 1.0, "max": 3.0}
+    assert ms("combined symmetrical")["shapes"] == _MOD.SYMMETRICAL_SHAPES
+    # per-shape variants pin exactly one shape; the model block (the
+    # RandomLFO baseline) is shared across the whole suite
+    assert ms("distorted saw")["shapes"] == ["saw"]
+    models = {str(c["model"]) for c in by_label.values()}
+    assert len(models) == 1
+
+
+def test_unseen_audio_groups_layout():
+    groups = list(_MOD._unseen_audio_groups())
+    assert [g for g, _ in groups] == [
+        "ph fixed", "ph varying", "fl fixed", "ch fixed",
+        "fl varying", "ch varying",
+    ]  # reference eval_lfo_unseen_audio.txt block order
+    for group, variants in groups:
+        eff, cond = group.split()
+        assert [lb for lb, _ in variants] == [
+            f"{eff} {d} {cond}" for d in _MOD.UNSEEN_DOMAINS
+        ]
+        for lb, cfg in variants:
+            if cfg is None:  # corpus not generated in this checkout
+                continue
+            domain = lb.split()[1]
+            da = cfg["data"]["init_args"]
+            assert da["train_dir"] == f"data/unseen_{domain}/val"
+            assert da["val_dir"] == f"data/unseen_{domain}/val"
