@@ -118,6 +118,38 @@ class Trainer:
 
             self.corpus = put_replicated(payload, self.mesh)
 
+    def _device_batches(self, loader, epoch: int, depth: int = 2):
+        """Iterate a loader epoch with batches already sharded on device.
+
+        The host->device transfer (`shard_batch`) runs in a side thread a
+        couple of batches ahead, so H2D copies overlap the previous
+        step's compute instead of serializing in the step loop — the
+        main live-training-vs-bench gap (the bench reuses one resident
+        batch and pays no feed at all)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        err: list = []
+
+        def worker():
+            try:
+                for b in loader.epoch(epoch):
+                    q.put(shard_batch(b, self.mesh))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            b = q.get()
+            if b is None:
+                if err:
+                    raise err[0]
+                return
+            yield b
+
     def fit(self) -> Any:
         self.dm.setup("fit")
         self._attach_corpus()
@@ -148,11 +180,10 @@ class Trainer:
             train_acc = []
             t_epoch = time.time()
             t_step = time.time()
-            for batch in train_loader.epoch(epoch):
+            for batch in self._device_batches(train_loader, epoch):
                 if self.profile_dir and global_step == 10 and not self._profiling:
                     jax.profiler.start_trace(ensure_dir(self.profile_dir))
                     self._profiling = True
-                batch = shard_batch(batch, self.mesh)
                 step_key = jax.random.fold_in(key, global_step)
                 state, metrics = self.task.train_step(
                     state, batch, step_key, self.corpus
