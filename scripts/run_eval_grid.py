@@ -180,7 +180,7 @@ def _em_sim_variants(base_cfg):
                 da[k] = f"data/{effect}/val/wet"
             ma = c["model"]["init_args"]
             if kind == "lstm":
-                c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r2__{effect}.npz"
+                c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r3__{effect}.npz"
             else:
                 c["ckpt_path"] = f"models/rand_baseline__{effect}.npz"
                 # base_cfg is already include-resolved, so resolve the

@@ -20,21 +20,34 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 R2_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2.npz"
+R3_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r3.npz"
 
 # stem -> card fields.  `metrics_run` names the out/<run>_metrics.jsonl
 # written by the Trainer for that training (may no longer exist — cards
 # then record what ROUND_NOTES.md archives).
 REGISTRY = {
-    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2": dict(
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r3": dict(
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live.yml",
         metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
         corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
         notes=(
-            "Flagship LFO extractor: Spectral2DCNN trained ~470 epochs on "
-            "live on-device interwoven phaser+flanger+chorus rendering "
-            "(device_corpus path).  Drives every eval_lfo_*.txt table and "
-            "conditions the stage-2 sim effect models."
+            "Flagship LFO extractor: Spectral2DCNN, the r2 470-epoch "
+            "interwoven run continued to 570 epochs after the phaser "
+            "renderer was pinned to exact JUCE semantics (round 2): the "
+            "sweep/GT phase relationship flipped, so the phaser portion "
+            "was relearned on the corrected data.  Drives every "
+            "eval_lfo_*.txt table and conditions the stage-2 sim models."
+        ),
+    ),
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2": dict(
+        kind="trained",
+        train_config="configs/train_lfo_interwoven_all_live.yml",
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes=(
+            "Round-1 flagship extractor (~470 epochs, live interwoven "
+            "rendering) — trained on the pre-round-2 phaser convention "
+            "(sweep in phase with GT); superseded by the _r3 checkpoint."
         ),
     ),
     "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_live_r1": dict(
@@ -55,29 +68,29 @@ REGISTRY = {
             "epoch_197_step_15840 as the eval_em_unseen_effect extractor."
         ),
     ),
-    "lstm_64__lfo_2dcnn_r2__sim_chorus": dict(
+    "lstm_64__lfo_2dcnn_r3__sim_chorus": dict(
         kind="trained",
         train_config="configs/train_em_sim_chorus.yml",
-        metrics_run="lstm_64__lfo_2dcnn_r2__sim_chorus",
-        parent_extractor=R2_EXTRACTOR,
+        metrics_run="lstm_64__lfo_2dcnn_r3__sim_chorus",
+        parent_extractor=R3_EXTRACTOR,
         corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
         notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
-        "conditioned on the frozen r2 extractor's LFO estimate.",
+        "conditioned on the frozen r3 extractor's LFO estimate.",
     ),
-    "lstm_64__lfo_2dcnn_r2__sim_flanger": dict(
+    "lstm_64__lfo_2dcnn_r3__sim_flanger": dict(
         kind="trained",
         train_config="configs/train_em_sim_flanger.yml",
-        metrics_run="lstm_64__lfo_2dcnn_r2__sim_flanger",
-        parent_extractor=R2_EXTRACTOR,
+        metrics_run="lstm_64__lfo_2dcnn_r3__sim_flanger",
+        parent_extractor=R3_EXTRACTOR,
         corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
         notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
-        "conditioned on the frozen r2 extractor's LFO estimate.",
+        "conditioned on the frozen r3 extractor's LFO estimate.",
     ),
-    "lstm_64__lfo_2dcnn_r2__sim_phaser": dict(
+    "lstm_64__lfo_2dcnn_r3__sim_phaser": dict(
         kind="trained",
         train_config="configs/train_em_sim_phaser.yml",
-        metrics_run="lstm_64__lfo_2dcnn_r2__sim_phaser",
-        parent_extractor=R2_EXTRACTOR,
+        metrics_run="lstm_64__lfo_2dcnn_r3__sim_phaser",
+        parent_extractor=R3_EXTRACTOR,
         corpus="data/sim_phaser (scripts/make_sim_effect_data.py)",
         notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs "
         "(eval_em_sim esr 0.096 vs rand baseline 0.786).",
