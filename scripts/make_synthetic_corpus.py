@@ -242,12 +242,66 @@ def render_bass(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarra
     return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
 
 
+def render_keys(rng: np.random.Generator, n_samples: int, bpm: int) -> np.ndarray:
+    """FM electric-piano comping (keys stand-in, 5th unseen-audio
+    domain): percussive bell-like attacks from a fast-decaying FM
+    modulation index plus a 'tine' partial, chords on a half/whole-beat
+    grid — transient-rich but pitched, unlike pads (slow attack), drums
+    (unpitched), or bass/riffs (plucked KS)."""
+    out = np.zeros(n_samples + SR)
+    beat = 60.0 / bpm
+    root = 220.0 * SEMITONE ** rng.integers(0, 12)
+    scale = [0, 2, 4, 5, 7, 9, 11]
+    t = rng.uniform(0.0, 0.25) * beat
+    while t * SR < n_samples:
+        dur_beats = rng.choice([0.5, 1.0, 1.0, 2.0])
+        if rng.uniform() < 0.12:  # comping rest
+            t += dur_beats * beat
+            continue
+        degree = rng.integers(0, 7)
+        chord = [scale[degree], scale[(degree + 2) % 7] + (12 if degree + 2 >= 7 else 0),
+                 scale[(degree + 4) % 7] + (12 if degree + 4 >= 7 else 0)]
+        if rng.uniform() < 0.4:
+            chord.append(chord[0] + 12)
+        dur = dur_beats * beat * rng.uniform(1.1, 1.6)
+        n = min(int(dur * SR), len(out) - int(t * SR))
+        if n <= 0:
+            break
+        tt = np.arange(n) / SR
+        seg = np.zeros(n)
+        for iv in chord:
+            f0 = root * SEMITONE ** iv
+            if f0 > 0.2 * SR:
+                continue
+            # 2-op FM: modulator at ~an octave+fifth, index decays fast
+            # (bright strike -> mellow sustain), detuned 'tine' partial
+            ratio = rng.choice([2.0, 3.0, 14.0]) * (1.0 + rng.normal(0, 1e-3))
+            index = rng.uniform(1.5, 3.5) * np.exp(-tt / 0.06)
+            ph = rng.uniform(0, 2 * np.pi)
+            carrier = np.sin(
+                2 * np.pi * f0 * tt + ph
+                + index * np.sin(2 * np.pi * f0 * ratio * tt)
+            )
+            tine = 0.25 * np.sin(2 * np.pi * f0 * 6.27 * tt) * np.exp(-tt / 0.05)
+            amp = rng.uniform(0.5, 0.9) * np.exp(-tt / (0.35 * dur))
+            seg += amp * (carrier + tine)
+        # key-click transient
+        click = np.diff(rng.uniform(-1, 1, n + 1)) * 0.02 * np.exp(-tt / 0.01)
+        i = int(t * SR)
+        out[i : i + n] += (seg * 0.3 + click) * np.clip(tt / 0.004, 0, 1)
+        t += dur_beats * beat
+    out = out[:n_samples]
+    peak = np.abs(out).max()
+    return (0.7 * out / max(peak, 1e-6)).astype(np.float32)
+
+
 STYLES = {
     "riffs": render_riff,
     "pads": render_pads,
     "vocal": render_vocal,
     "drums": render_drums,
     "bass": render_bass,
+    "keys": render_keys,
 }
 
 

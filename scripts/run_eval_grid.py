@@ -115,7 +115,7 @@ def _rand_suite_variants(base_cfg):
 # MedleyDB/VocalSet/IDMT-drums): corpora live at data/unseen_<d>/val.
 # Block order mirrors the reference file: ph fixed, ph varying, fl
 # fixed, ch fixed, fl varying, ch varying.
-UNSEEN_DOMAINS = ("pads", "vocal", "drums", "bass")
+UNSEEN_DOMAINS = ("pads", "vocal", "drums", "bass", "keys")
 UNSEEN_EFFECT_CONFIGS = [
     ("ph", "fixed", "eval_lfo.yml"),
     ("ph", "varying", "eval_lfo_varying.yml"),
