@@ -26,18 +26,32 @@ R3_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_
 # written by the Trainer for that training (may no longer exist — cards
 # then record what ROUND_NOTES.md archives).
 REGISTRY = {
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r4": dict(
+        kind="trained",
+        train_config="configs/train_lfo_interwoven_all_live.yml",
+        metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes=(
+            "Flagship LFO extractor: Spectral2DCNN, the interwoven "
+            "live-render run continued to 720 epochs (r3 = its 570-epoch "
+            "snapshot).  Drives every eval_lfo_*.txt table; the stage-2 "
+            "sim models remain conditioned on the r3 snapshot they were "
+            "trained against."
+        ),
+    ),
     "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r3": dict(
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live.yml",
         metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
+        epoch_cap=570,
         corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
         notes=(
             "Flagship LFO extractor: Spectral2DCNN, the r2 470-epoch "
             "interwoven run continued to 570 epochs after the phaser "
             "renderer was pinned to exact JUCE semantics (round 2): the "
             "sweep/GT phase relationship flipped, so the phaser portion "
-            "was relearned on the corrected data.  Drives every "
-            "eval_lfo_*.txt table and conditions the stage-2 sim models."
+            "was relearned on the corrected data.  Conditions the "
+            "stage-2 sim models; superseded for eval tables by _r4."
         ),
     ),
     "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2": dict(
@@ -136,8 +150,12 @@ REFERENCE_IMPORTS = {
 }
 
 
-def final_epoch_metrics(run: str):
-    """Last epoch-phase record from out/<run>_metrics.jsonl, if present."""
+def final_epoch_metrics(run: str, epoch_cap=None):
+    """Last epoch-phase record from out/<run>_metrics.jsonl, if present.
+
+    `epoch_cap` bounds the scan (exclusive) for cards that snapshot an
+    earlier point of a run that was later continued (e.g. the r3
+    570-epoch export of the run that went on to 720 epochs as r4)."""
     path = os.path.join("out", f"{run}_metrics.jsonl")
     if not os.path.exists(path):
         return None
@@ -149,6 +167,8 @@ def final_epoch_metrics(run: str):
             except json.JSONDecodeError:
                 continue
             if rec.get("phase") == "epoch":
+                if epoch_cap is not None and rec.get("epoch", 0) >= epoch_cap:
+                    continue
                 last = rec
     return last
 
@@ -186,7 +206,7 @@ def build_card(stem: str):
     }
     if "parent_extractor" in info:
         card["parent_extractor"] = info["parent_extractor"]
-    rec = final_epoch_metrics(info.get("metrics_run", ""))
+    rec = final_epoch_metrics(info.get("metrics_run", ""), info.get("epoch_cap"))
     if rec is not None:
         card["epochs_trained"] = int(rec.get("epoch", -1)) + 1
         card["final_val_metrics"] = {
