@@ -343,10 +343,18 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         warm_start = lambda: _load_lfo_weights(  # noqa: E731
             run.task.model, init_wp, 2, run.data_module.render_cfg.n_samples
         )
+    elif init_wp and isinstance(run.task, TBPTTEffectModelingTask) \
+            and not run.task.multi_params:
+        # bare effect-model export (models/lstm_64__*.npz) -> the simple
+        # TBPTT state's params tree, same shape `_load_eval_state` restores
+        warm_start = lambda: _load_lfo_weights(  # noqa: E731
+            None, init_wp, 2, run.data_module.render_cfg.n_samples
+        )
     elif init_wp:
         log.warning(
-            "custom.init_weights_path is only supported for LFO-extraction "
-            "tasks; ignored for %s (TBPTT uses lfo_model_weights_path)",
+            "custom.init_weights_path needs a single-param-tree task; "
+            "ignored for %s (TBPTT with param/lfo params resumes from "
+            "Orbax checkpoints only)",
             type(run.task).__name__,
         )
     trainer = Trainer(

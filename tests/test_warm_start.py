@@ -109,6 +109,87 @@ def test_init_weights_path_warm_starts_fit(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def _em_config(tmp, weights_path=None):
+    """TBPTT stage-2 config (RandomLFO-conditioned LSTM, dry==wet corpus)."""
+    cfg = {
+        "seed_everything": 5,
+        "custom": {
+            "model_name": "em",
+            "dataset_name": "d",
+            "cpu_batch_size": 8,
+            "cpu_train_num_examples_per_epoch": 8,
+            "cpu_val_num_examples_per_epoch": 8,
+        },
+        "trainer": {"max_epochs": 0},
+        "data": {
+            "class_path": "mod_extraction.data_modules.RandomAudioChunkDryWetDataModule",
+            "init_args": {
+                "batch_size": 2,
+                "num_workers": 0,
+                "dry_train_dir": os.path.join(tmp, "wavs"),
+                "dry_val_dir": os.path.join(tmp, "wavs"),
+                "wet_train_dir": os.path.join(tmp, "wavs"),
+                "wet_val_dir": os.path.join(tmp, "wavs"),
+                "train_num_examples_per_epoch": 2,
+                "val_num_examples_per_epoch": 2,
+                "n_samples": N,
+                "sr": SR,
+                "check_dataset": False,
+            },
+        },
+        "model": {
+            "class_path": "mod_extraction.lightning.TBPTTLFOEffectModeling",
+            "init_args": {
+                "warmup_n_samples": 256,
+                "step_n_samples": 256,
+                "effect_model": {
+                    "class_path": "mod_extraction.models.LSTMEffectModel",
+                    "init_args": {
+                        "in_ch": 1, "out_ch": 1, "n_hidden": 8, "latent_dim": 1
+                    },
+                },
+                "lfo_model": {
+                    "class_path": "mod_extraction.models.RandomLFO",
+                    "init_args": {
+                        "n_samples": 63,
+                        "sr": 125.0,
+                        "shapes": ["tri"],
+                        "freq_min": 1.5,
+                        "freq_max": 2.0,
+                    },
+                },
+                "model_smooth_n_frames": 0,
+                "should_stretch": False,
+                "discard_invalid_lfos": False,
+                "loss_dict": {"l1": 1.0},
+            },
+        },
+    }
+    if weights_path:
+        cfg["custom"]["init_weights_path"] = weights_path
+    path = os.path.join(tmp, "em_cfg.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def test_init_weights_path_warm_starts_tbptt(tmp_path):
+    """Continuation path for stage-2 LSTMs whose out/ was cleaned: a bare
+    models/lstm_64__*.npz export seeds a fresh TBPTT fit."""
+    tmp = str(tmp_path)
+    _write_corpus(os.path.join(tmp, "wavs"))
+
+    cold = fit(_em_config(tmp), out_dir=os.path.join(tmp, "out_a"))
+
+    donor = jax.tree.map(lambda a: np.asarray(a) + 1.0, cold.params["params"])
+    wp = os.path.join(tmp, "donor.npz")
+    save_weights(wp, donor)
+
+    warm = fit(_em_config(tmp, weights_path=wp), out_dir=os.path.join(tmp, "out_b"))
+    for a, b in zip(jax.tree.leaves(warm.params["params"]), jax.tree.leaves(donor)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_resume_checkpoint_wins_over_warm_start(tmp_path):
     tmp = str(tmp_path)
     _write_corpus(os.path.join(tmp, "wavs"))
