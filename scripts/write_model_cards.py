@@ -30,6 +30,7 @@ REGISTRY = {
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live.yml",
         metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
+        epochs_total=720,
         corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
         notes=(
             "Flagship LFO extractor: Spectral2DCNN, the interwoven "
@@ -42,8 +43,7 @@ REGISTRY = {
     "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r3": dict(
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live.yml",
-        metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live",
-        epoch_cap=570,
+        pin_metrics=True,  # snapshot of a continued run; out/ no longer has it
         corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
         notes=(
             "Flagship LFO extractor: Spectral2DCNN, the r2 470-epoch "
@@ -150,12 +150,8 @@ REFERENCE_IMPORTS = {
 }
 
 
-def final_epoch_metrics(run: str, epoch_cap=None):
-    """Last epoch-phase record from out/<run>_metrics.jsonl, if present.
-
-    `epoch_cap` bounds the scan (exclusive) for cards that snapshot an
-    earlier point of a run that was later continued (e.g. the r3
-    570-epoch export of the run that went on to 720 epochs as r4)."""
+def final_epoch_metrics(run: str):
+    """Last epoch-phase record from out/<run>_metrics.jsonl, if present."""
     path = os.path.join("out", f"{run}_metrics.jsonl")
     if not os.path.exists(path):
         return None
@@ -167,10 +163,31 @@ def final_epoch_metrics(run: str, epoch_cap=None):
             except json.JSONDecodeError:
                 continue
             if rec.get("phase") == "epoch":
-                if epoch_cap is not None and rec.get("epoch", 0) >= epoch_cap:
-                    continue
                 last = rec
     return last
+
+
+def existing_card_metrics(stem: str, models_dir: str = "models"):
+    """(epochs_trained, final_val_metrics) from the committed card, if any.
+
+    Training-run metrics live in `out/`, which does not survive VM
+    resets; once a card has recorded them, a regeneration without the
+    run on disk must preserve them instead of silently dropping (or —
+    worse — re-deriving them from a *restarted* run that reuses the
+    same run name with a reset epoch counter)."""
+    import yaml
+
+    path = os.path.join(models_dir, f"{stem}.yml")
+    if not os.path.exists(path):
+        return None, None
+    try:
+        with open(path) as f:
+            old = yaml.safe_load(f)
+    except Exception:
+        return None, None
+    if not isinstance(old, dict):
+        return None, None
+    return old.get("epochs_trained"), old.get("final_val_metrics")
 
 
 def build_card(stem: str):
@@ -206,7 +223,9 @@ def build_card(stem: str):
     }
     if "parent_extractor" in info:
         card["parent_extractor"] = info["parent_extractor"]
-    rec = final_epoch_metrics(info.get("metrics_run", ""), info.get("epoch_cap"))
+    rec = None
+    if not info.get("pin_metrics"):
+        rec = final_epoch_metrics(info.get("metrics_run", ""))
     if rec is not None:
         card["epochs_trained"] = int(rec.get("epoch", -1)) + 1
         card["final_val_metrics"] = {
@@ -214,6 +233,14 @@ def build_card(stem: str):
             for k, v in rec.items()
             if k.startswith("val/")
         }
+    else:
+        epochs, metrics = existing_card_metrics(stem)
+        if epochs is not None:
+            card["epochs_trained"] = epochs
+        if metrics is not None:
+            card["final_val_metrics"] = metrics
+    if "epochs_total" in info:
+        card["epochs_total"] = info["epochs_total"]
     try:
         card["resolved_config"] = load_yaml_with_includes(info["train_config"])
     except Exception as e:  # config may reference absent local data
