@@ -366,6 +366,7 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         seed=run.seed,
         resume=resume,
         media_callback=_media_callback_for(run),
+        media_every_n_epochs=int(custom.get("media_every_n_epochs", 10)),
         lr=run.lr,
         profile_dir=custom.get("profile_dir"),
         warm_start_params=warm_start,

@@ -71,6 +71,7 @@ class Trainer:
         seed: int = 42,
         mesh: Optional[Any] = None,
         media_callback: Optional[Callable] = None,
+        media_every_n_epochs: int = 10,
         log_every_n_steps: int = 50,
         resume: bool = False,
         lr: Optional[float] = None,
@@ -88,6 +89,11 @@ class Trainer:
         self.metrics = MetricLogger(out_dir, run_name)
         self.ckpts = CheckpointManager(os.path.join(out_dir, run_name + "_ckpts"))
         self.media_callback = media_callback
+        # media logging is expensive on remote-TPU hosts (the callback
+        # pulls full audio batches over the ~45MB/s tunnel and renders
+        # matplotlib figures on the host) — default to every 10th epoch
+        # rather than the reference's every-val-epoch wandb push
+        self.media_every_n_epochs = max(1, int(media_every_n_epochs))
         self.log_every_n_steps = log_every_n_steps
         self.resume = resume
         # ConsoleLRMonitor analog (`callbacks.py:22-34`): log the LR with
@@ -271,6 +277,10 @@ class Trainer:
                 params, batch, jax.random.fold_in(key, i), self.corpus
             )
             acc.append(metrics)  # device scalars; materialized in the mean
-            if i == 0 and self.media_callback is not None:
+            if (
+                i == 0
+                and self.media_callback is not None
+                and epoch % self.media_every_n_epochs == 0
+            ):
                 self.media_callback(self, params, batch, epoch)
         return _mean_metrics(acc)
