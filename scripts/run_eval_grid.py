@@ -170,6 +170,14 @@ def _em_sim_variants(base_cfg):
 
     from mod_extraction_tpu.cli import load_yaml_with_includes
 
+    # the LSTM rows reuse the base config's ckpt naming (e.g.
+    # models/lstm_64__lfo_2dcnn_r4__sim_chorus.npz) with the effect
+    # swapped, so repointing eval_em_sim.yml at a new conditioning
+    # extractor's model family repoints the whole suite
+    import re
+
+    base_ckpt = base_cfg.get("ckpt_path", "models/lstm_64__lfo_2dcnn_r3__sim_chorus.npz")
+    lstm_stem = re.sub(r"__sim_\w+\.npz$", "", base_ckpt)
     for effect, baseline_model in EM_SIM_EFFECTS:
         for kind in ("lstm", "rand"):
             c = copy.deepcopy(base_cfg)
@@ -180,7 +188,7 @@ def _em_sim_variants(base_cfg):
                 da[k] = f"data/{effect}/val/wet"
             ma = c["model"]["init_args"]
             if kind == "lstm":
-                c["ckpt_path"] = f"models/lstm_64__lfo_2dcnn_r3__{effect}.npz"
+                c["ckpt_path"] = f"{lstm_stem}__{effect}.npz"
             else:
                 c["ckpt_path"] = f"models/rand_baseline__{effect}.npz"
                 # base_cfg is already include-resolved, so resolve the

@@ -75,3 +75,28 @@ def test_unseen_audio_groups_layout():
             da = cfg["data"]["init_args"]
             assert da["train_dir"] == f"data/unseen_{domain}/val"
             assert da["val_dir"] == f"data/unseen_{domain}/val"
+
+
+def test_em_sim_lstm_ckpts_follow_base_config():
+    """The em-sim LSTM rows derive their per-effect ckpt from the base
+    config's ckpt_path, so repointing eval_em_sim.yml at a new
+    conditioning-extractor model family repoints all three rows."""
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    cfg = load_yaml_with_includes("eval_em_sim.yml")
+    cfg["ckpt_path"] = "models/lstm_64__lfo_2dcnn_r9__sim_chorus.npz"
+    pairs = list(_MOD._em_sim_variants(cfg))
+    labels = [label for label, _ in pairs]
+    assert labels == [
+        f"{eff}__{kind}"
+        for eff in ("sim_chorus", "sim_flanger", "sim_phaser")
+        for kind in ("lstm", "rand")
+    ]
+    by_label = dict(pairs)
+    for eff in ("sim_chorus", "sim_flanger", "sim_phaser"):
+        assert by_label[f"{eff}__lstm"]["ckpt_path"] == (
+            f"models/lstm_64__lfo_2dcnn_r9__{eff}.npz"
+        )
+        assert by_label[f"{eff}__rand"]["ckpt_path"] == (
+            f"models/rand_baseline__{eff}.npz"
+        )
