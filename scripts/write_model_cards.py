@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 R2_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r2.npz"
 R3_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r3.npz"
+R4_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r4.npz"
 
 # stem -> card fields.  `metrics_run` names the out/<run>_metrics.jsonl
 # written by the Trainer for that training (may no longer exist — cards
@@ -87,18 +88,24 @@ REGISTRY = {
         train_config="configs/train_em_sim_chorus.yml",
         metrics_run="lstm_64__lfo_2dcnn_r3__sim_chorus",
         parent_extractor=R3_EXTRACTOR,
-        corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
-        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
-        "conditioned on the frozen r3 extractor's LFO estimate.",
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py, "
+        "quasiperiodic regime)",
+        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs on the "
+        "quasiperiodic chorus corpus, conditioned on the frozen r3 "
+        "extractor's LFO estimate; superseded by the _r4-conditioned "
+        "adaptation.",
     ),
     "lstm_64__lfo_2dcnn_r3__sim_flanger": dict(
         kind="trained",
         train_config="configs/train_em_sim_flanger.yml",
-        metrics_run="lstm_64__lfo_2dcnn_r3__sim_flanger",
+        pin_metrics=True,  # npz = the ft2 stage's best; out/ holds the
+        # later (regressed, discarded) ESR-weighted ft3 run's metrics
         parent_extractor=R3_EXTRACTOR,
         corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
-        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs, "
-        "conditioned on the frozen r3 extractor's LFO estimate.",
+        notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs + two "
+        "low-LR fine-tune stages (ft/ft2), conditioned on the frozen r3 "
+        "extractor's LFO estimate; superseded by the _r4-conditioned "
+        "adaptation.",
     ),
     "lstm_64__lfo_2dcnn_r3__sim_phaser": dict(
         kind="trained",
@@ -107,7 +114,41 @@ REGISTRY = {
         parent_extractor=R3_EXTRACTOR,
         corpus="data/sim_phaser (scripts/make_sim_effect_data.py)",
         notes="Stage-2 LSTM-64 effect model, TBPTT, 120 epochs "
-        "(eval_em_sim esr 0.096 vs rand baseline 0.786).",
+        "(eval_em_sim esr 0.096 vs rand baseline 0.786); superseded by "
+        "the _r4-conditioned adaptation.",
+    ),
+    "lstm_64__lfo_2dcnn_r4__sim_chorus": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_chorus_r4.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r4__sim_chorus",
+        parent_extractor=R4_EXTRACTOR,
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py, "
+        "quasiperiodic regime)",
+        notes="Stage-2 LSTM-64 effect model: the r3-conditioned chorus "
+        "model adapted to r4-extractor conditioning (low-LR warm-started "
+        "TBPTT).  The chorus regime sits at an LSTM-64 capacity floor "
+        "(~26-40 ms delay), so LSTM == rand-baseline ESR here, as in "
+        "three prior corpus regimes.",
+    ),
+    "lstm_64__lfo_2dcnn_r4__sim_flanger": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_flanger_r4.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r4__sim_flanger",
+        parent_extractor=R4_EXTRACTOR,
+        corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
+        notes="Stage-2 LSTM-64 effect model: the r3-conditioned flanger "
+        "model (120 epochs + ft/ft2) adapted to r4-extractor "
+        "conditioning (low-LR warm-started TBPTT).",
+    ),
+    "lstm_64__lfo_2dcnn_r4__sim_phaser": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_phaser_r4.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r4__sim_phaser",
+        parent_extractor=R4_EXTRACTOR,
+        corpus="data/sim_phaser (scripts/make_sim_effect_data.py)",
+        notes="Stage-2 LSTM-64 effect model: the r3-conditioned phaser "
+        "model (120 epochs) adapted to r4-extractor conditioning "
+        "(low-LR warm-started TBPTT).",
     ),
     "lstm_64__lfo_2dcnn_r1__sim_chorus": dict(
         kind="trained",
@@ -120,9 +161,12 @@ REGISTRY = {
     "rand_baseline__sim_chorus": dict(
         kind="trained",
         train_config="configs/train_baseline_em_sim.yml",
-        corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
-        notes="RandomLFO-conditioned LSTM-64 baseline (40 epochs) — the "
-        "reference's second table per effect in eval_em_unseen_effect.txt.",
+        metrics_run="rand_baseline__sim_chorus",
+        corpus="data/sim_chorus (scripts/make_sim_effect_data.py, "
+        "quasiperiodic regime)",
+        notes="RandomLFO-conditioned LSTM-64 baseline (100 epochs on the "
+        "quasiperiodic chorus corpus) — the reference's second table per "
+        "effect in eval_em_unseen_effect.txt.",
     ),
     "rand_baseline__sim_flanger": dict(
         kind="trained",
