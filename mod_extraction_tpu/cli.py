@@ -148,13 +148,49 @@ def build_model(cfg: Dict[str, Any], data_links: Dict[str, Any]):
     return cls(**_filter_kwargs(cls, args))
 
 
+def build_lr(cfg: Optional[Dict[str, Any]]):
+    """Constant lr, or an optax schedule when `optimizer.lr_schedule` is
+    set — a framework extension (the reference trains at constant lr
+    only; its CLI has no scheduler hookup).  Schedule config:
+
+        lr_schedule:
+          name: cosine | linear   # warmup then decay to end_lr
+          warmup_steps: 0         # linear ramp 0 -> lr
+          decay_steps: N          # REQUIRED; total optimizer updates
+          end_lr: 0.0
+
+    `decay_steps` counts OPTIMIZER UPDATES, not batches: a TBPTT task
+    steps the optimizer once per 1024-sample chunk (~85x per batch,
+    `train/tbptt_task.py`), so size it accordingly."""
+    args = (cfg or {}).get("init_args") or {}
+    lr = float(args.get("lr", 1e-4))
+    sched = (cfg or {}).get("lr_schedule")
+    if not sched:
+        return lr
+    name = str(sched.get("name", "cosine")).lower()
+    warmup = int(sched.get("warmup_steps", 0))
+    decay = int(sched["decay_steps"])
+    end = float(sched.get("end_lr", 0.0))
+    if name == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=lr if warmup == 0 else 0.0,
+            peak_value=lr, warmup_steps=warmup, decay_steps=decay,
+            end_value=end,
+        )
+    if name == "linear":
+        ramp = optax.linear_schedule(0.0 if warmup else lr, lr, max(warmup, 1))
+        tail = optax.linear_schedule(lr, end, max(decay - warmup, 1))
+        return optax.join_schedules([ramp, tail], [warmup])
+    raise KeyError(f"Unknown lr_schedule name: {name}")
+
+
 def build_optimizer(cfg: Optional[Dict[str, Any]]) -> optax.GradientTransformation:
     """torch.optim.* -> optax (reference default `configs/opt/adam_w.yml`)."""
     if cfg is None:
         return optax.adamw(1e-4, b1=0.8, b2=0.99)
     path = cfg.get("class_path", "torch.optim.AdamW")
     args = cfg.get("init_args") or {}
-    lr = float(args.get("lr", 1e-4))
+    lr = build_lr(cfg)
     betas = args.get("betas", (0.8, 0.99))
     wd = float(args.get("weight_decay", 0.01))
     name = path.rsplit(".", 1)[-1].lower()
@@ -244,8 +280,7 @@ class RunConfig:
         )
 
         self.optimizer = build_optimizer(cfg.get("optimizer"))
-        opt_args = (cfg.get("optimizer") or {}).get("init_args") or {}
-        self.lr = float(opt_args.get("lr", 1e-4))
+        self.lr = build_lr(cfg.get("optimizer"))  # float or schedule fn
         self.task = self._build_task(dict(cfg["model"]))
 
     def _build_task(self, model_cfg: Dict[str, Any]):
@@ -357,6 +392,16 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
             "Orbax checkpoints only)",
             type(run.task).__name__,
         )
+    display_lr = run.lr
+    if callable(run.lr):
+        # the schedule advances once per OPTIMIZER update; the step log
+        # counts batches, so rescale for TBPTT's ~85 inner updates/batch
+        upb = 1
+        if isinstance(run.task, TBPTTEffectModelingTask):
+            n = run.data_module.render_cfg.n_samples
+            w, s = run.task.warmup_n_samples, run.task.step_n_samples
+            upb = max((n - w) // s, 1)
+        display_lr = lambda step, _f=run.lr, _u=upb: float(_f(step * _u))  # noqa: E731
     trainer = Trainer(
         run.task,
         run.data_module,
@@ -367,7 +412,7 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         resume=resume,
         media_callback=_media_callback_for(run),
         media_every_n_epochs=int(custom.get("media_every_n_epochs", 10)),
-        lr=run.lr,
+        lr=display_lr,
         profile_dir=custom.get("profile_dir"),
         warm_start_params=warm_start,
     )

@@ -74,7 +74,7 @@ class Trainer:
         media_every_n_epochs: int = 10,
         log_every_n_steps: int = 50,
         resume: bool = False,
-        lr: Optional[float] = None,
+        lr=None,  # float, or schedule fn of global_step (display only)
         profile_dir: Optional[str] = None,
         check_finite: bool = True,
         warm_start_params: Optional[Any] = None,
@@ -231,7 +231,9 @@ class Trainer:
                         **last,
                     }
                     if self.lr is not None:
-                        payload["lr"] = self.lr
+                        payload["lr"] = (
+                            self.lr(global_step) if callable(self.lr) else self.lr
+                        )
                     self.metrics.log(payload)
                     t_step = time.time()
 

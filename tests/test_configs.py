@@ -51,3 +51,34 @@ def test_config_builds(path, lfo_weights):
     thr = ds_args.get("silence_threshold_energy")
     if thr is not None:
         assert isinstance(thr, float)
+
+
+def test_lr_schedule_builds():
+    """`optimizer.lr_schedule` (framework extension; the reference is
+    constant-lr only) -> an optax schedule with warmup/peak/end."""
+    from mod_extraction_tpu.cli import build_lr, build_optimizer
+
+    cfg = {
+        "class_path": "torch.optim.AdamW",
+        "init_args": {"lr": 3e-5, "betas": [0.8, 0.99]},
+        "lr_schedule": {
+            "name": "cosine", "warmup_steps": 100,
+            "decay_steps": 1000, "end_lr": 1e-6,
+        },
+    }
+    sched = build_lr(cfg)
+    assert callable(sched)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(100)) - 3e-5) < 1e-12
+    assert abs(float(sched(1000)) - 1e-6) < 1e-12
+    # monotone decay after the peak
+    assert float(sched(500)) < 3e-5
+    tx = build_optimizer(cfg)
+    assert tx is not None
+
+    lin = build_lr({**cfg, "lr_schedule": {"name": "linear", "decay_steps": 10}})
+    assert abs(float(lin(0)) - 3e-5) < 1e-12
+    assert float(lin(10)) < 1e-8
+
+    const = build_lr({"init_args": {"lr": 2e-4}})
+    assert const == 2e-4
