@@ -9,8 +9,12 @@ exactly like the EGFx/Melda experiments (`eval_em_unseen_effect.txt`):
 
   sim_chorus     — QUASIPERIODIC triangle LFO 1.6-1.9 Hz, chorus delay
                    regime (11-19 ms sweep, feedback 0.3)
-  sim_flanger    — QUASIPERIODIC triangle 1.0-1.5 Hz, flanger regime
-                   with strong feedback (the "quasi" Melda variant)
+  sim_flanger    — QUASIPERIODIC triangle 1.0-1.5 Hz, mild flanger
+                   regime (feedback 0.25, mix 0.9)
+  sim_flanger2   — same LFO band, sharper PHASE-CRITICAL regime
+                   (feedback 0.45, mix 1.0) — the reference archives two
+                   flanger-family rows (EGFx + Melda) with very different
+                   characters; this is the resonant second one
   sim_phaser     — cos 0.56-0.94 Hz allpass-cascade phaser (the
                    "irregular" Melda band, `baseline_melda_irregular.yml`)
 
@@ -76,7 +80,7 @@ def _render(effect: str, rng, dry: np.ndarray):
             x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
             feedback=0.3, min_delay_width=0.367, width=0.8, depth=1.0, mix=0.9,
         )
-    if effect == "sim_flanger":
+    if effect in ("sim_flanger", "sim_flanger2"):
         mods = []
         for _ in range(n_pairs):
             m = np_make_mod_signal(
@@ -87,13 +91,18 @@ def _render(effect: str, rng, dry: np.ndarray):
         mod = jnp.asarray(np.stack(mods).astype(np.float32))
         # round 1 used a 0.2-9.2 ms sweep at feedback 0.6 and got NO
         # conditioning win (esr 0.412 vs rand 0.439) — too hard for an
-        # LSTM-64 either way.  This is the reference's own flanger regime
-        # (gen_idmt_fl: max_min 1 ms, max_lfo 4 ms, feedback 0.25) with a
-        # 1.0-3.0 ms sweep, mirroring the Melda-flanger-quasi setting
-        # where the reference's big win lives (esr 0.1369 vs 0.5069).
+        # LSTM-64 either way.  sim_flanger is the reference's own flanger
+        # regime (gen_idmt_fl: max_min 1 ms, max_lfo 4 ms, feedback 0.25)
+        # with a 1.0-3.0 ms sweep, mirroring the Melda-flanger-quasi
+        # setting where the reference's big win lives (esr 0.1369 vs
+        # 0.5069).  sim_flanger2 keeps the sweep but sharpens the comb
+        # (feedback 0.45, fully wet): the resonance makes the output
+        # phase-critical, so a wrong-phase random conditioning signal
+        # costs far more — the regime where conditioning quality shows.
+        fb, mix = (0.45, 1.0) if effect == "sim_flanger2" else (0.25, 0.9)
         return apply_flanger_chorus(
             x, mod, SR, max_min_delay_ms=1.0, max_lfo_delay_ms=4.0,
-            feedback=0.25, min_delay_width=1.0, width=0.5, depth=1.0, mix=0.9,
+            feedback=fb, min_delay_width=1.0, width=0.5, depth=1.0, mix=mix,
         )
     if effect == "sim_phaser":
         rate = jnp.asarray(rng.uniform(0.5625, 0.9375, n_pairs).astype(np.float32))
@@ -106,7 +115,7 @@ def _render(effect: str, rng, dry: np.ndarray):
     raise SystemExit(f"unknown effect: {effect}")
 
 
-ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_phaser")
+ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
 
 
 def parse_args(argv):

@@ -154,6 +154,9 @@ def _unseen_audio_groups():
 EM_SIM_EFFECTS = [
     ("sim_chorus", "configs/models/baseline_sim_chorus.yml"),
     ("sim_flanger", "configs/models/baseline_sim_flanger.yml"),
+    # same LFO band as sim_flanger (the baseline band config is shared);
+    # sharper, fully-wet comb — the phase-critical regime
+    ("sim_flanger2", "configs/models/baseline_sim_flanger.yml"),
     ("sim_phaser", "configs/models/baseline_melda_irregular.yml"),
 ]
 

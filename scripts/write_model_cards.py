@@ -150,6 +150,18 @@ REGISTRY = {
         "model (120 epochs) adapted to r4-extractor conditioning "
         "(low-LR warm-started TBPTT).",
     ),
+    "lstm_64__lfo_2dcnn_r4__sim_flanger2": dict(
+        kind="trained",
+        train_config="configs/train_em_sim_flanger2.yml",
+        metrics_run="lstm_64__lfo_2dcnn_r4__sim_flanger2",
+        parent_extractor=R4_EXTRACTOR,
+        corpus="data/sim_flanger2 (scripts/make_sim_effect_data.py, "
+        "phase-critical resonant regime: feedback 0.45, fully wet)",
+        notes="Stage-2 LSTM-64 effect model on the resonant flanger "
+        "regime, warm-started from the sim_flanger model; protocol "
+        "matched 1:1 with rand_baseline__sim_flanger2 (120 epochs, "
+        "warmup-cosine 1e-4 -> 1e-6).",
+    ),
     "lstm_64__lfo_2dcnn_r1__sim_chorus": dict(
         kind="trained",
         train_config="configs/train_em_sim_chorus.yml",
@@ -173,6 +185,17 @@ REGISTRY = {
         train_config="configs/train_baseline_em_sim_flanger.yml",
         corpus="data/sim_flanger (scripts/make_sim_effect_data.py)",
         notes="RandomLFO-conditioned LSTM-64 baseline (40 epochs).",
+    ),
+    "rand_baseline__sim_flanger2": dict(
+        kind="trained",
+        train_config="configs/train_baseline_em_sim_flanger2.yml",
+        metrics_run="rand_baseline__sim_flanger2",
+        corpus="data/sim_flanger2 (scripts/make_sim_effect_data.py, "
+        "phase-critical resonant regime)",
+        notes="RandomLFO-conditioned LSTM-64 baseline, warm-started from "
+        "rand_baseline__sim_flanger; protocol matched 1:1 with the "
+        "extractor-conditioned sim_flanger2 model (120 epochs, "
+        "warmup-cosine 1e-4 -> 1e-6).",
     ),
     "rand_baseline__sim_phaser": dict(
         kind="trained",

@@ -89,11 +89,11 @@ def test_em_sim_lstm_ckpts_follow_base_config():
     labels = [label for label, _ in pairs]
     assert labels == [
         f"{eff}__{kind}"
-        for eff in ("sim_chorus", "sim_flanger", "sim_phaser")
+        for eff in ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
         for kind in ("lstm", "rand")
     ]
     by_label = dict(pairs)
-    for eff in ("sim_chorus", "sim_flanger", "sim_phaser"):
+    for eff in ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser"):
         assert by_label[f"{eff}__lstm"]["ckpt_path"] == (
             f"models/lstm_64__lfo_2dcnn_r9__{eff}.npz"
         )
