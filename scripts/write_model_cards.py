@@ -27,6 +27,20 @@ R4_EXTRACTOR = "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_
 # written by the Trainer for that training (may no longer exist — cards
 # then record what ROUND_NOTES.md archives).
 REGISTRY = {
+    "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r5": dict(
+        kind="trained",
+        train_config="configs/train_lfo_interwoven_all_live_r5.yml",
+        metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r5",
+        epochs_total=920,
+        corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+        notes=(
+            "Flagship LFO extractor: SGDR-style cosine-restart anneal "
+            "(200 epochs, 1e-4 -> 1e-6) of the plateaued r4 lineage "
+            "(920 epochs total).  Drives every eval_lfo_*.txt table; "
+            "the stage-2 sim models remain conditioned on the r4/r3 "
+            "snapshots they were trained against."
+        ),
+    ),
     "lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r4": dict(
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live.yml",
