@@ -96,3 +96,43 @@ def test_frozen_path_keeps_flat_params():
     state = task.init_state(jax.random.PRNGKey(0))
     # shipped-config layout: plain flax params, no {"effect": ...} wrapper
     assert "params" in state.params
+
+
+def test_schedule_advances_per_inner_update():
+    """An lr schedule must see one optimizer update per TBPTT chunk
+    (the reference steps its optimizer per 1024-sample chunk,
+    `lightning.py:356-384`) — (n_samples - warmup) // step chunks per
+    batch, NOT one per batch."""
+    import optax
+
+    seen = []
+
+    def schedule(count):
+        seen.append(True)
+        return 1e-4 * jnp.ones_like(count, dtype=jnp.float32)
+
+    em = LSTMEffectModel(in_ch=1, out_ch=1, n_hidden=8, latent_dim=1)
+    task = TBPTTEffectModelingTask(
+        effect_model=em, render_cfg=_render_cfg(),
+        warmup_n_samples=256, step_n_samples=256,
+        lfo_model=None, model_smooth_n_frames=0,
+        should_stretch=False, discard_invalid_lfos=False,
+        optimizer=optax.adamw(schedule, b1=0.8, b2=0.99),
+    )
+    key = jax.random.PRNGKey(0)
+    state = task.init_state(key)
+
+    def count_of(opt_state):
+        leaves = [
+            l for l in jax.tree.leaves(opt_state)
+            if hasattr(l, "dtype") and l.dtype == jnp.int32 and l.ndim == 0
+        ]
+        assert leaves, "no int32 scalar count in opt_state"
+        return max(int(l) for l in leaves)
+
+    assert count_of(state.opt_state) == 0
+    state2, _ = task.train_step(state, _batch(2), key)
+    n_chunks = (N - 256) // 256
+    assert count_of(state2.opt_state) == n_chunks
+    state3, _ = task.train_step(state2, _batch(2), key)
+    assert count_of(state3.opt_state) == 2 * n_chunks
