@@ -381,7 +381,15 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
     elif init_wp and isinstance(run.task, TBPTTEffectModelingTask) \
             and not run.task.multi_params:
         # bare effect-model export (models/lstm_64__*.npz) -> the simple
-        # TBPTT state's params tree, same shape `_load_eval_state` restores
+        # TBPTT state's params tree, same shape `_load_eval_state` restores.
+        # .pt here would hit the Spectral2DCNN porting path with no model
+        # — convert reference LSTMs first (scripts/import_reference_weights.py)
+        if not init_wp.endswith(".npz"):
+            raise ValueError(
+                "TBPTT custom.init_weights_path must be a .npz effect-model "
+                f"export (got {init_wp}); convert reference .pt weights with "
+                "scripts/import_reference_weights.py first"
+            )
         warm_start = lambda: _load_lfo_weights(  # noqa: E731
             None, init_wp, 2, run.data_module.render_cfg.n_samples
         )
@@ -398,9 +406,7 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         # counts batches, so rescale for TBPTT's ~85 inner updates/batch
         upb = 1
         if isinstance(run.task, TBPTTEffectModelingTask):
-            n = run.data_module.render_cfg.n_samples
-            w, s = run.task.warmup_n_samples, run.task.step_n_samples
-            upb = max((n - w) // s, 1)
+            upb = run.task.updates_per_batch
         display_lr = lambda step, _f=run.lr, _u=upb: float(_f(step * _u))  # noqa: E731
     trainer = Trainer(
         run.task,

@@ -137,24 +137,47 @@ class Trainer:
 
         q: queue.Queue = queue.Queue(maxsize=depth)
         err: list = []
+        stop = threading.Event()  # set when the consumer abandons the epoch
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone —
+            otherwise an abandoned epoch (NaN guard, KeyboardInterrupt)
+            would leave this thread blocked forever holding `depth`
+            device-resident batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in loader.epoch(epoch):
-                    q.put(shard_batch(b, self.mesh))
+                    if stop.is_set() or not _put(shard_batch(b, self.mesh)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         threading.Thread(target=worker, daemon=True).start()
-        while True:
-            b = q.get()
-            if b is None:
-                if err:
-                    raise err[0]
-                return
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    if err:
+                        raise err[0]
+                    return
+                yield b
+        finally:
+            stop.set()
+            while not q.empty():  # unblock a pending put promptly
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def fit(self) -> Any:
         self.dm.setup("fit")

@@ -148,6 +148,18 @@ class TBPTTEffectModelingTask:
         n_after = n_hat - removed
         return int((n_after / n_hat) * t)
 
+    @property
+    def updates_per_batch(self) -> int:
+        """Optimizer updates per batch — the chunk-scan length train_step
+        runs (its `n_chunks` on the static post-crop audio length).  The
+        source of truth for sizing lr_schedule decay_steps and for the
+        step log's schedule-position display."""
+        return max(
+            (self._cropped_n_samples() - self.warmup_n_samples)
+            // self.step_n_samples,
+            1,
+        )
+
     def _effect_params(self, params):
         return params["effect"] if self.multi_params else params
 

@@ -13,10 +13,7 @@ bash scripts/train_resumable.sh configs/train_em_sim_chorus_r4.yml 40 40
 for run in lstm_64__lfo_2dcnn_r4__sim_flanger \
            lstm_64__lfo_2dcnn_r4__sim_phaser \
            lstm_64__lfo_2dcnn_r4__sim_chorus; do
-  SRC=out/${run}_ckpts/last
-  [ -d "out/${run}_ckpts/best" ] && SRC=out/${run}_ckpts/best
-  echo "exporting $run from $SRC"
-  python scripts/extract_model_weights.py "$SRC" "models/${run}.npz" effect_model
+  bash scripts/export_best.sh "$run" "models/${run}.npz" effect_model
 done
 
 sed -i \

@@ -117,6 +117,19 @@ def _render(effect: str, rng, dry: np.ndarray):
 
 ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
 
+# Fixed per-effect corpus seeds.  These pin the EXACT shipped corpora:
+# chorus/flanger/phaser came from the original three-effect full run
+# (positional seeds 7/8/9) and flanger2 from a single-effect invocation
+# (seed 7) — verified against data/*/train/dry on 2026-08-18.  A seed
+# derived from the position in the *requested* list would silently
+# change the corpus when effects are added or generated one at a time.
+EFFECT_SEEDS = {
+    "sim_chorus": 7,
+    "sim_flanger": 8,
+    "sim_flanger2": 7,
+    "sim_phaser": 9,
+}
+
 
 def parse_args(argv):
     """(src_train, src_val, out_root, effects) from flags, positionals
@@ -152,8 +165,8 @@ def main(argv) -> None:
 
     src_train, src_val, out_root, effects = parse_args(argv)
 
-    for e_i, effect in enumerate(effects):
-        rng = np.random.default_rng(7 + e_i)
+    for effect in effects:
+        rng = np.random.default_rng(EFFECT_SEEDS[effect])
         for split, src_dir, n_pairs in (
             ("train", src_train, 48), ("val", src_val, 8),
         ):

@@ -9,11 +9,7 @@ cd "$(dirname "$0")/.."
 # best/ only reappears if the continuation beats the pre-570 best_val
 # recorded in meta.json (it was reset at the phaser-semantics change);
 # otherwise export the final `last` state like the r3 export did.
-CKPTS=out/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_ckpts
-SRC=$CKPTS/last
-[ -d "$CKPTS/best" ] && SRC=$CKPTS/best
-echo "exporting r4 from $SRC"
-python scripts/extract_model_weights.py "$SRC" \
+bash scripts/export_best.sh lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live \
   models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r4.npz model
 
 sed -i 's/interwoven_idmt_all_live_r3\.npz/interwoven_idmt_all_live_r4.npz/' \

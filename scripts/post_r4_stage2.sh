@@ -16,10 +16,7 @@ bash scripts/train_resumable.sh configs/train_em_sim_flanger_ft3.yml 80 40
 
 for run in lstm_64__lfo_2dcnn_r3__sim_chorus rand_baseline__sim_chorus \
            lstm_64__lfo_2dcnn_r3__sim_flanger; do
-  SRC=out/${run}_ckpts/last
-  [ -d "out/${run}_ckpts/best" ] && SRC=out/${run}_ckpts/best
-  echo "exporting $run from $SRC"
-  python scripts/extract_model_weights.py "$SRC" "models/${run}.npz" effect_model
+  bash scripts/export_best.sh "$run" "models/${run}.npz" effect_model
 done
 
 python scripts/run_eval_grid.py --em-sim eval

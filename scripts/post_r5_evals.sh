@@ -1,7 +1,9 @@
 #!/bin/bash
 # After the r5 cosine-restart anneal (train_lfo_interwoven_all_live_r5.yml):
-# ship it ONLY if its best val/loss beats the r4 flagship's 0.032704
-# (models/..._r4.yml final_val_metrics), then repoint the eval_lfo grid
+# ship it ONLY if its best val/loss beats the SHIPPED r4 npz — the r4
+# run's best checkpoint, val/loss 0.029684 (out/..._live_ckpts/meta.json
+# best_val; the card's final_val_metrics 0.0327 is the last epoch, not
+# what was exported) — then repoint the eval_lfo grid
 # and regenerate the per-shape + unseen-audio archives and model cards.
 set -e
 cd "$(dirname "$0")/.."
@@ -14,19 +16,15 @@ best = min(
     for d in map(json.loads, open("out/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r5_metrics.jsonl"))
     if d.get("phase") == "epoch" and "val/loss" in d
 )
-print(f"r5 best val/loss: {best:.6f} (r4: 0.032704)")
-sys.exit(0 if best < 0.032704 else 1)
+print(f"r5 best val/loss: {best:.6f} (r4 shipped best: 0.029684)")
+sys.exit(0 if best < 0.029684 else 1)
 EOF
 then
   echo "r5 did not beat r4 — not shipping"
   exit 0
 fi
 
-CKPTS=out/${RUN}_ckpts
-SRC=$CKPTS/last
-[ -d "$CKPTS/best" ] && SRC=$CKPTS/best
-echo "exporting r5 from $SRC"
-python scripts/extract_model_weights.py "$SRC" "models/${RUN}.npz" model
+bash scripts/export_best.sh "$RUN" "models/${RUN}.npz" model
 
 sed -i 's/interwoven_idmt_all_live_r4\.npz/interwoven_idmt_all_live_r5.npz/' \
   configs/eval_lfo.yml configs/eval_lfo_varying.yml \

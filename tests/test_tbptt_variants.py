@@ -133,6 +133,7 @@ def test_schedule_advances_per_inner_update():
     assert count_of(state.opt_state) == 0
     state2, _ = task.train_step(state, _batch(2), key)
     n_chunks = (N - 256) // 256
+    assert task.updates_per_batch == n_chunks
     assert count_of(state2.opt_state) == n_chunks
     state3, _ = task.train_step(state2, _batch(2), key)
     assert count_of(state3.opt_state) == 2 * n_chunks
