@@ -205,6 +205,62 @@ def _em_sim_variants(base_cfg):
             yield f"{effect}__{kind}", c
 
 
+def build_em_sim_blocks(cfg, validate_many, table):
+    """Reference-layout em-sim archive blocks (lstm table, rand table,
+    effect label — `eval_em_unseen_effect.txt` layout) with PER-EFFECT
+    availability checks and error isolation: one missing corpus or
+    checkpoint skips only its own block, never the whole archive."""
+    blocks = []
+    by_effect = {}
+    for lb, c in _em_sim_variants(cfg):
+        eff, kind = lb.rsplit("__", 1)
+        by_effect.setdefault(eff, {})[kind] = (lb, c)
+    avail, skipped = [], {}
+    for effect, _ in EM_SIM_EFFECTS:
+        missing = []
+        if not os.path.isdir(f"data/{effect}/val/dry"):
+            missing.append(
+                f"data/{effect} (scripts/make_sim_effect_data.py {effect})"
+            )
+        for kind in ("lstm", "rand"):
+            p = by_effect[effect][kind][1]["ckpt_path"]
+            if not os.path.isfile(p):
+                missing.append(p)
+        (skipped.setdefault(effect, missing) if missing
+         else avail.append(effect))
+    try:
+        # the lstm variants share one compiled task -> one grouped call
+        lstm = dict(
+            validate_many([by_effect[e]["lstm"] for e in avail])
+        ) if avail else {}
+    except Exception:
+        # degrade to per-effect lstm runs so one bad variant cannot
+        # take down the others
+        lstm = {}
+        for e in avail:
+            try:
+                lstm.update(validate_many([by_effect[e]["lstm"]]))
+            except Exception:
+                skipped[e] = [f"lstm eval failed:\n{traceback.format_exc()}"]
+    for effect, _ in EM_SIM_EFFECTS:
+        if effect in skipped:
+            blocks.append(
+                f"SKIPPED (missing): {effect} — "
+                + "; ".join(skipped[effect]) + "\n"
+            )
+            continue
+        try:
+            rand = validate_many([by_effect[effect]["rand"]])[0][1]
+        except Exception:
+            blocks.append(
+                f"FAILED ({effect} rand):\n{traceback.format_exc()}"
+            )
+            continue
+        blocks.append(table(lstm[f"{effect}__lstm"]))
+        blocks.append(f"{table(rand)}\n{effect}\n")
+    return blocks
+
+
 if __name__ == "__main__":
     from mod_extraction_tpu.cli import load_yaml_with_includes, validate_many
     from mod_extraction_tpu.evaluation.tables import format_validate_table
@@ -258,58 +314,7 @@ if __name__ == "__main__":
         try:
             cfg = load_yaml_with_includes(name)
             if em_sim:
-                # lstm group shares one compiled task; each rand variant
-                # has its own RandomLFO band -> its own task. Interleave
-                # back into the reference's layout: lstm table, rand
-                # table, effect label.  Availability is checked per
-                # effect so one missing corpus/checkpoint skips only its
-                # own block, not the whole archive.
-                by_effect = {}
-                for lb, c in _em_sim_variants(cfg):
-                    eff, kind = lb.rsplit("__", 1)
-                    by_effect.setdefault(eff, {})[kind] = (lb, c)
-                avail, skipped = [], {}
-                for effect, _ in EM_SIM_EFFECTS:
-                    missing = []
-                    if not os.path.isdir(f"data/{effect}/val/dry"):
-                        missing.append(
-                            f"data/{effect} (scripts/make_sim_effect_data.py {effect})"
-                        )
-                    for kind in ("lstm", "rand"):
-                        p = by_effect[effect][kind][1]["ckpt_path"]
-                        if not os.path.isfile(p):
-                            missing.append(p)
-                    (skipped.setdefault(effect, missing) if missing
-                     else avail.append(effect))
-                try:
-                    lstm = dict(
-                        validate_many([by_effect[e]["lstm"] for e in avail])
-                    ) if avail else {}
-                except Exception:
-                    # degrade to per-effect lstm runs so one bad variant
-                    # cannot take down the others
-                    lstm = {}
-                    for e in avail:
-                        try:
-                            lstm.update(validate_many([by_effect[e]["lstm"]]))
-                        except Exception:
-                            skipped[e] = [f"lstm eval failed:\n{traceback.format_exc()}"]
-                for effect, _ in EM_SIM_EFFECTS:
-                    if effect in skipped:
-                        blocks.append(
-                            f"SKIPPED (missing): {effect} — "
-                            + "; ".join(skipped[effect]) + "\n"
-                        )
-                        continue
-                    try:
-                        rand = validate_many([by_effect[effect]["rand"]])[0][1]
-                    except Exception:
-                        blocks.append(
-                            f"FAILED ({effect} rand):\n{traceback.format_exc()}"
-                        )
-                        continue
-                    blocks.append(table(lstm[f"{effect}__lstm"]))
-                    blocks.append(f"{table(rand)}\n{effect}\n")
+                blocks.extend(build_em_sim_blocks(cfg, validate_many, table))
             else:
                 if rand_suite:
                     variants = list(_rand_suite_variants(cfg))

@@ -100,3 +100,55 @@ def test_em_sim_lstm_ckpts_follow_base_config():
         assert by_label[f"{eff}__rand"]["ckpt_path"] == (
             f"models/rand_baseline__{eff}.npz"
         )
+
+
+def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
+    """One missing corpus/checkpoint skips only its own block; healthy
+    effects still produce their paired lstm/rand tables (the archive
+    must never collapse to a single FAILED block)."""
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    cfg = load_yaml_with_includes("eval_em_sim.yml")
+
+    calls = []
+
+    def fake_validate_many(variants):
+        calls.append([lb for lb, _ in variants])
+        return [(lb, {"esr": 0.1, "l1": 0.01}) for lb, _ in variants]
+
+    def fake_table(metrics):
+        return f"TABLE({sorted(metrics)})"
+
+    # all four effects' corpora+ckpts exist on this host -> 4 paired blocks
+    blocks = _MOD.build_em_sim_blocks(cfg, fake_validate_many, fake_table)
+    effects = [e for e, _ in _MOD.EM_SIM_EFFECTS]
+    assert [b.splitlines()[-1] for b in blocks[1::2]] == effects
+    assert len(blocks) == 2 * len(effects)
+    # the lstm variants went through ONE grouped call
+    assert calls[0] == [f"{e}__lstm" for e in effects]
+
+    # remove one effect's corpus: only its block becomes SKIPPED
+    import os as _os
+
+    real_isdir = _os.path.isdir
+    monkeypatch.setattr(
+        _os.path, "isdir",
+        lambda p: False if "sim_flanger2" in str(p) else real_isdir(p),
+    )
+    blocks = _MOD.build_em_sim_blocks(cfg, fake_validate_many, fake_table)
+    skipped = [b for b in blocks if b.startswith("SKIPPED")]
+    assert len(skipped) == 1 and "sim_flanger2" in skipped[0]
+    assert len(blocks) == 2 * (len(effects) - 1) + 1
+
+    # a rand-variant failure for one effect leaves the others intact
+    monkeypatch.undo()
+
+    def flaky_validate_many(variants):
+        if any(lb == "sim_phaser__rand" for lb, _ in variants):
+            raise RuntimeError("boom")
+        return fake_validate_many(variants)
+
+    blocks = _MOD.build_em_sim_blocks(cfg, flaky_validate_many, fake_table)
+    failed = [b for b in blocks if b.startswith("FAILED")]
+    assert len(failed) == 1 and "sim_phaser" in failed[0]
+    assert sum(1 for b in blocks if b.startswith("TABLE")) >= 3
