@@ -1,0 +1,31 @@
+#!/bin/bash
+# Migrate the em-sim stage-2 suite's conditioning to the final
+# round-2 extractor (r5 or r6, whichever extractor_r5_r6_chain.sh
+# shipped): generate the migration configs, run the four warm-started
+# low-LR adaptations, export each run's best, repoint eval_em_sim.yml,
+# regenerate the em-sim table.
+# Usage: em_sim_final_chain.sh <rN>   (e.g. r6)
+set -e
+cd "$(dirname "$0")/.."
+RN=${1:?usage: em_sim_final_chain.sh <rN>}
+
+python scripts/gen_em_sim_migration.py "$RN"
+
+bash scripts/train_resumable.sh "configs/train_em_sim_flanger_${RN}.yml" 80 40
+bash scripts/train_resumable.sh "configs/train_em_sim_phaser_${RN}.yml" 40 40
+bash scripts/train_resumable.sh "configs/train_em_sim_chorus_${RN}.yml" 40 40
+bash scripts/train_resumable.sh "configs/train_em_sim_flanger2_${RN}.yml" 40 40
+
+for effect in flanger phaser chorus flanger2; do
+  run="lstm_64__lfo_2dcnn_${RN}__sim_${effect}"
+  bash scripts/export_best.sh "$run" "models/${run}.npz" effect_model
+done
+
+sed -i \
+  -e "s/lstm_64__lfo_2dcnn_r4__/lstm_64__lfo_2dcnn_${RN}__/" \
+  -e "s/interwoven_idmt_all_live_r4\.npz/interwoven_idmt_all_live_${RN}.npz/" \
+  -e "s/interwoven_idmt_all_live_r5\.npz/interwoven_idmt_all_live_${RN}.npz/" \
+  configs/eval_em_sim.yml
+
+python scripts/run_eval_grid.py --em-sim eval
+echo "em-sim ${RN} migration complete"
