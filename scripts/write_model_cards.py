@@ -219,6 +219,41 @@ REGISTRY = {
     ),
 }
 
+# Lineage-generated stems, pre-registered so the unattended chains
+# (scripts/extractor_r5_r6_chain.sh + em_sim_final_chain.sh) can run the
+# card writer no matter which extractor the guards ship.
+REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6"] = dict(
+    kind="trained",
+    train_config="configs/train_lfo_interwoven_all_live_r6.yml",
+    metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6",
+    epochs_total=1070,
+    corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+    notes=(
+        "Flagship LFO extractor: second, lower-peak cosine restart "
+        "(150 epochs, 5e-5 -> 1e-6) on top of the r5 anneal "
+        "(1070 epochs total).  Shipped only if it beat the r5 best "
+        "(scripts/extractor_r5_r6_chain.sh guard)."
+    ),
+)
+for _rn in ("r5", "r6"):
+    for _effect in ("flanger", "phaser", "chorus", "flanger2"):
+        REGISTRY[f"lstm_64__lfo_2dcnn_{_rn}__sim_{_effect}"] = dict(
+            kind="trained",
+            train_config=f"configs/train_em_sim_{_effect}_{_rn}.yml",
+            metrics_run=f"lstm_64__lfo_2dcnn_{_rn}__sim_{_effect}",
+            parent_extractor=(
+                "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+                f"interwoven_idmt_all_live_{_rn}.npz"
+            ),
+            corpus=f"data/sim_{_effect} (scripts/make_sim_effect_data.py)",
+            notes=(
+                f"Stage-2 LSTM-64 effect model: the r4-conditioned "
+                f"sim_{_effect} model adapted to {_rn}-extractor "
+                "conditioning (low-LR warm-started TBPTT; config "
+                "generated by scripts/gen_em_sim_migration.py)."
+            ),
+        )
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",
