@@ -227,6 +227,9 @@ class CompiledStreamingProcessor:
         from jax import export as jax_export
 
         self.exported = jax_export.deserialize(artifact)
+        # exported.call re-traces on every invocation; jit it so each
+        # buffer shape lowers once and then dispatches from cache
+        self._call = jax.jit(self.exported.call)
         self.n_channels = n_channels
         self.n_hidden = n_hidden
 
@@ -235,7 +238,7 @@ class CompiledStreamingProcessor:
 
     def process_np(self, state, x: np.ndarray, lfo_rate=0.2, lfo_depth=0.6667,
                    stereo_offset=0.0):
-        y, state = self.exported.call(
+        y, state = self._call(
             state,
             jnp.asarray(x, jnp.float32),
             jnp.float32(lfo_rate),

@@ -62,8 +62,11 @@ def _load_params(weights_path: str, model, n_channels: int):
         from mod_extraction_tpu.train.checkpoints import load_weights
 
         return {"params": load_weights(weights_path)}, weights_path
+    from mod_extraction_tpu.models.lstm import lstm_init_state
+
     x = jnp.zeros((n_channels, 1, 256), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, x, None)
+    state = lstm_init_state(n_channels, model.n_hidden)
+    params = model.init(jax.random.PRNGKey(0), x, x, state)
     return params, "(random init)"
 
 
@@ -119,6 +122,19 @@ def main(argv=None):
     proc.params, src = _load_params(args.weights, proc.model, args.channels)
     state = proc.init_state()
 
+    # the deserialized StableHLO artifact (the runtime-loadable export) —
+    # same weights, portable scan lowering
+    from mod_extraction_tpu.export.streaming import (
+        CompiledStreamingProcessor,
+        serialize_streaming_processor,
+    )
+
+    artifact = CompiledStreamingProcessor(
+        serialize_streaming_processor(proc),
+        n_channels=args.channels,
+        n_hidden=proc.n_hidden,
+    )
+
     rng = np.random.default_rng(0)
     rows = []
     for bs in [int(s) for s in args.buffer_sizes.split(",")]:
@@ -128,17 +144,20 @@ def main(argv=None):
         )
         per_call = bench_per_call(proc, state, buf, n_buffers)
         sustained = bench_sustained(proc, state, buf, n_buffers)
+        art_call = bench_per_call(artifact, artifact.init_state(), buf, n_buffers)
         rows.append(
             {
                 "buffer_size": bs,
                 "latency_budget_ms": round(bs / SR * 1e3, 2),
                 "rtf_per_call": round(per_call, 2),
                 "rtf_sustained": round(sustained, 2),
+                "rtf_artifact_per_call": round(art_call, 2),
             }
         )
         print(
             f"buffer {bs:5d} ({rows[-1]['latency_budget_ms']:7.2f} ms): "
-            f"per-call RTF {per_call:8.2f}  sustained RTF {sustained:8.2f}"
+            f"per-call RTF {per_call:8.2f}  sustained RTF {sustained:8.2f}  "
+            f"artifact RTF {art_call:8.2f}"
         )
     print(
         json.dumps(
