@@ -31,6 +31,10 @@ REGISTRY = {
         kind="trained",
         train_config="configs/train_lfo_interwoven_all_live_r5.yml",
         metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r5",
+        # the run's out/ metrics did not survive the VM reset; the export
+        # guard recorded the best checkpoint's monitored value at ship time
+        # (scripts/extractor_r5_r6_chain.sh, commit 057e6fd)
+        best_val_loss=0.02659,
         epochs_total=920,
         corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
         notes=(
@@ -357,6 +361,10 @@ def build_card(stem: str):
             card["final_val_metrics"] = metrics
     if "epochs_total" in info:
         card["epochs_total"] = info["epochs_total"]
+    if "best_val_loss" in info:
+        # the exported npz is always the best-by-val/loss checkpoint;
+        # record its monitored value when pinned in the registry
+        card["best_val_loss"] = info["best_val_loss"]
     try:
         card["resolved_config"] = load_yaml_with_includes(info["train_config"])
     except Exception as e:  # config may reference absent local data
