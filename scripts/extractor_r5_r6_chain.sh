@@ -27,27 +27,39 @@ EVAL_CFGS="configs/eval_lfo.yml configs/eval_lfo_varying.yml \
   configs/eval_lfo_quasi.yml configs/eval_lfo_distorted.yml \
   configs/eval_lfo_combined.yml configs/eval_lfo_unseen_audio.yml"
 
+# Best monitored val/loss for a run: prefer the run's live metrics
+# jsonl; fall back to the shipped model card's best_val_loss so the
+# chain stays resumable after out/ is wiped (a fresh host/round).
 best_val() {
   python - "$1" <<'EOF'
-import json, sys
-print(min(
-    d["val/loss"]
-    for d in map(json.loads, open(f"out/{sys.argv[1]}_metrics.jsonl"))
-    if d.get("phase") == "epoch" and "val/loss" in d
-))
+import json, os, sys
+run = sys.argv[1]
+path = f"out/{run}_metrics.jsonl"
+if os.path.exists(path):
+    print(min(
+        d["val/loss"]
+        for d in map(json.loads, open(path))
+        if d.get("phase") == "epoch" and "val/loss" in d
+    ))
+else:
+    import yaml
+    print(yaml.safe_load(open(f"models/{run}.yml"))["best_val_loss"])
 EOF
 }
 
 R5_BEST=$(best_val "$R5")
 echo "r5 best val/loss: $R5_BEST (r4 shipped best: 0.029684)"
-if ! python -c "import sys; sys.exit(0 if $R5_BEST < 0.029684 else 1)"; then
-  echo "r5 did not beat r4 — keeping r4, skipping r6"
-  exit 0
+if [ -f "models/${R5}.npz" ]; then
+  echo "r5 already shipped — skipping its guard/export"
+else
+  if ! python -c "import sys; sys.exit(0 if $R5_BEST < 0.029684 else 1)"; then
+    echo "r5 did not beat r4 — keeping r4, skipping r6"
+    exit 0
+  fi
+  bash scripts/export_best.sh "$R5" "models/${R5}.npz" model
+  sed -i "s/${R4}\.npz/${R5}.npz/" $EVAL_CFGS
+  echo "r5 shipped + eval grid repointed"
 fi
-
-bash scripts/export_best.sh "$R5" "models/${R5}.npz" model
-sed -i "s/${R4}\.npz/${R5}.npz/" $EVAL_CFGS
-echo "r5 shipped + eval grid repointed"
 
 bash scripts/train_resumable.sh configs/train_lfo_interwoven_all_live_r6.yml 150 25
 
