@@ -9,22 +9,25 @@ set -e
 cd "$(dirname "$0")/.."
 RN=${1:?usage: em_sim_final_chain.sh <rN>}
 
-python scripts/gen_em_sim_migration.py "$RN"
+# skip the generator when the configs already exist (a resumed chain
+# must not regenerate them — that would reset any hand-tuned budgets)
+if [ ! -f "configs/train_em_sim_flanger_${RN}.yml" ]; then
+  python scripts/gen_em_sim_migration.py "$RN"
+fi
 
-bash scripts/train_resumable.sh "configs/train_em_sim_flanger_${RN}.yml" 80 40
-bash scripts/train_resumable.sh "configs/train_em_sim_phaser_${RN}.yml" 40 40
-bash scripts/train_resumable.sh "configs/train_em_sim_chorus_${RN}.yml" 40 40
-bash scripts/train_resumable.sh "configs/train_em_sim_flanger2_${RN}.yml" 40 40
-
+# train-then-export per effect, budgets read from the generated
+# configs, so an interruption leaves every completed run exported
 for effect in flanger phaser chorus flanger2; do
+  cfg="configs/train_em_sim_${effect}_${RN}.yml"
+  total=$(grep -o 'max_epochs: [0-9]*' "$cfg" | head -1 | grep -o '[0-9]*')
+  bash scripts/train_resumable.sh "$cfg" "$total" "$total"
   run="lstm_64__lfo_2dcnn_${RN}__sim_${effect}"
   bash scripts/export_best.sh "$run" "models/${run}.npz" effect_model
 done
 
 sed -i \
-  -e "s/lstm_64__lfo_2dcnn_r4__/lstm_64__lfo_2dcnn_${RN}__/" \
-  -e "s/interwoven_idmt_all_live_r4\.npz/interwoven_idmt_all_live_${RN}.npz/" \
-  -e "s/interwoven_idmt_all_live_r5\.npz/interwoven_idmt_all_live_${RN}.npz/" \
+  -e "s/lstm_64__lfo_2dcnn_r[0-9]*__/lstm_64__lfo_2dcnn_${RN}__/" \
+  -e "s/interwoven_idmt_all_live_r[0-9]*\.npz/interwoven_idmt_all_live_${RN}.npz/" \
   configs/eval_em_sim.yml
 
 python scripts/run_eval_grid.py --em-sim eval

@@ -3,10 +3,12 @@
 # em_sim_final_chain.sh): the warm-started runs open at r4-suite
 # quality on epoch 0 (val/esr 0.2014 vs the shipped r4 flanger's
 # 0.2033), so the adaptation budget is cut to 40/16/16/16 epochs
-# (the configs' max_epochs were edited accordingly).  Does NOT rerun
-# gen_em_sim_migration.py — that would overwrite the epoch edits.
-# Each run exports + commits state progressively so an interruption
-# leaves a consistent repo.
+# (the configs' max_epochs were edited accordingly; those budgets are
+# now the generator's defaults).  Does NOT rerun gen_em_sim_migration.py.
+# NOTE: exports and the eval repoint run only after all four trainings —
+# if interrupted mid-chain, re-run it (train_resumable resumes each
+# completed run as a no-op).  Historical script: this ran for r5 in
+# round 2; use em_sim_final_chain.sh for future migrations.
 set -e
 cd "$(dirname "$0")/.."
 RN=r5

@@ -41,9 +41,12 @@ if os.path.exists(path):
         for d in map(json.loads, open(path))
         if d.get("phase") == "epoch" and "val/loss" in d
     ))
-else:
+elif os.path.exists(f"models/{run}.yml"):
     import yaml
     print(yaml.safe_load(open(f"models/{run}.yml"))["best_val_loss"])
+else:
+    sys.exit(f"no out/ metrics and no shipped model card for {run} — "
+             "train it first (scripts/train_resumable.sh)")
 EOF
 }
 
@@ -57,9 +60,11 @@ else
     exit 0
   fi
   bash scripts/export_best.sh "$R5" "models/${R5}.npz" model
-  sed -i "s/${R4}\.npz/${R5}.npz/" $EVAL_CFGS
-  echo "r5 shipped + eval grid repointed"
+  echo "r5 shipped"
 fi
+# idempotent repoint OUTSIDE the shipped-guard, so a run interrupted
+# between export and sed still gets the eval grid repointed on resume
+sed -i "s/${R4}\.npz/${R5}.npz/" $EVAL_CFGS
 
 bash scripts/train_resumable.sh configs/train_lfo_interwoven_all_live_r6.yml 150 25
 
