@@ -26,15 +26,12 @@ def _rand_variants():
 def test_rand_suite_matches_reference_layout():
     variants = _rand_variants()
     labels = [lb for lb, _ in variants]
-    want = (
-        SHAPES
-        + ["all"]
-        + [f"quasi {s}" for s in SHAPES]
-        + ["quasi all"]
-        + [f"distorted {s}" for s in SHAPES]
-        + ["distorted all"]
-        + ["combined symmetrical", "combined all"]
-    )
+    prefix = _MOD.RAND_PREFIX
+    want = [
+        f"{prefix} {cond} {s}".replace("  ", " ")
+        for cond in ("", "quasi", "distorted")
+        for s in SHAPES + ["all"]
+    ] + [f"{prefix} combined symmetrical", f"{prefix} combined all"]
     assert labels == want  # 23 tables, reference eval_lfo_rand.txt order
 
 
@@ -42,7 +39,8 @@ def test_rand_suite_condition_settings():
     by_label = dict(_rand_variants())
 
     def ms(label):
-        return by_label[label]["data"]["init_args"]["fx_config"]["mod_sig"]
+        cfg = by_label[f"{_MOD.RAND_PREFIX} {label}"]
+        return cfg["data"]["init_args"]["fx_config"]["mod_sig"]
 
     assert ms("quasi all").get("quasiperiodic") is True
     assert ms("quasi all")["rate_hz"] == {"min": 0.5, "max": 2.0}
@@ -66,15 +64,61 @@ def test_unseen_audio_groups_layout():
     for group, variants in groups:
         eff, cond = group.split()
         assert [lb for lb, _ in variants] == [
-            f"{eff} {d} {cond}" for d in _MOD.UNSEEN_DOMAINS
+            f"eval {eff} {d} {cond}" for d in _MOD.UNSEEN_DOMAINS
         ]
         for lb, cfg in variants:
             if cfg is None:  # corpus not generated in this checkout
                 continue
-            domain = lb.split()[1]
+            domain = lb.split()[2]
             da = cfg["data"]["init_args"]
             assert da["train_dir"] == f"data/unseen_{domain}/val"
             assert da["val_dir"] == f"data/unseen_{domain}/val"
+
+
+def test_config_groups_quasi_distorted_have_chorus_halves():
+    """quasi/distorted must yield the reference's 14-table layout: a
+    flanger group and a chorus group of 7 labeled tables each, with the
+    chorus group carrying eval_lfo_chorus.yml's pinned delay regime and
+    the condition's own mod_sig block unchanged."""
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    ch_ref = load_yaml_with_includes("eval_lfo_chorus.yml")
+    ch_ref = ch_ref["data"]["init_args"]["fx_config"]["flanger"]
+    for name, cond_label in (
+        ("eval_lfo_quasi.yml", "quasi "),
+        ("eval_lfo_distorted.yml", ""),
+    ):
+        cfg = load_yaml_with_includes(name)
+        groups = _MOD._config_groups(name, cfg, per_shape=True)
+        assert len(groups) == 2 and all(len(g) == 7 for g in groups)
+        fl, ch = groups
+        assert [lb for lb, _ in fl] == [
+            f"eval exp 2.0 fl {cond_label}{s}" for s in SHAPES + ["all"]
+        ]
+        assert [lb for lb, _ in ch] == [
+            f"eval exp 2.0 ch {cond_label}{s}" for s in SHAPES + ["all"]
+        ]
+        for lb, c in ch:
+            fx = c["data"]["init_args"]["fx_config"]
+            assert fx["flanger"] == ch_ref  # pinned chorus delay regime
+            # the condition's mod_sig settings survive the regime swap
+            base_ms = cfg["data"]["init_args"]["fx_config"]["mod_sig"]
+            if lb.endswith(" all"):
+                assert fx["mod_sig"] == base_ms
+
+
+def test_config_groups_combined_layout():
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    cfg = load_yaml_with_includes("eval_lfo_combined.yml")
+    groups = _MOD._config_groups("eval_lfo_combined.yml", cfg, per_shape=True)
+    assert [[lb for lb, _ in g] for g in groups] == [
+        ["eval exp 2.0 fl combined 4 shapes", "eval exp 2.0 fl combined all"],
+        ["eval exp 2.0 ch combined 4 shapes", "eval exp 2.0 ch combined all"],
+    ]
+    sym = dict(groups[0])["eval exp 2.0 fl combined 4 shapes"]
+    ms = sym["data"]["init_args"]["fx_config"]["mod_sig"]
+    assert ms["shapes"] == _MOD.SYMMETRICAL_SHAPES
 
 
 def test_em_sim_lstm_ckpts_follow_base_config():
