@@ -83,12 +83,18 @@ def bench_reference_torch_cpu(n_reps: int = 2) -> float:
     """Reference-style per-sample flanger loop (torch, host CPU).
 
     Measures full 2-second example renders (the reference's actual chunk
-    length, `fx.py:104-115`) at batch 4, `n_reps` timed repetitions after
-    a short warmup rep.  The reference pipeline is render-bound (the loop
-    runs per training batch on host, `data_modules.py:419-458`), so
-    audio-sec/sec == rendered audio seconds / wall seconds.  NOT
-    extrapolated from a sub-second slice — the loop is timed at the real
-    per-example length, so per-iteration overheads are fully included."""
+    length, `fx.py:104-115`) at the reference's actual render batch size
+    of 1000 (`configs/train_lfo_flanger.yml:21`, rendered per batch in
+    `data_modules.py:419-458`), `n_reps` timed repetitions after a short
+    warmup rep.  Batch 1000 amortizes torch's per-op dispatch overhead
+    across the batch exactly as the reference pipeline does — timing the
+    loop at a small batch would overstate our speedup ~25x (VERDICT r2
+    weak #1).  The reference pipeline is render-bound (flanger configs
+    train on CPU too, `train_lfo_flanger.yml:21-24`), so audio-sec/sec ==
+    rendered audio seconds / wall seconds, an upper bound on the
+    reference's end-to-end throughput.  NOT extrapolated from a
+    sub-second slice — the loop is timed at the real per-example length,
+    so per-iteration overheads are fully included."""
     import torch as tr
 
     sr = 44100.0
@@ -123,7 +129,7 @@ def bench_reference_torch_cpu(n_reps: int = 2) -> float:
                 out[:, :, i] = x[:, :, i] + depth * interp
         return time.perf_counter() - t0
 
-    b, t = 4, 88200  # the reference's 2 s @ 44.1 kHz chunks
+    b, t = 1000, 88200  # the reference's batch-1000 render of 2 s chunks
     render(b, 11025)  # warmup (allocator, thread pools)
     dt = sum(render(b, t) for _ in range(n_reps))
     audio_sec = n_reps * b * t / sr
