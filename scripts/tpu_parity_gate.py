@@ -1,0 +1,184 @@
+"""On-TPU Pallas parity gate (VERDICT r2 weak #3).
+
+The CI suite checks every Pallas kernel against its `lax.scan` reference
+in interpret mode only (tests/conftest.py forces CPU), so on-device
+kernel correctness previously rested on manual bench/eval runs.  This
+script is the missing gate: run it on the REAL chip (plain `python`,
+which routes through the axon plugin) after any kernel or Mosaic/runtime
+change, and record the line in ROUND_NOTES.
+
+Checks (kernel vs scan, compiled on the real TPU backend):
+  1. flanger fwd — flanger regime (short delay line) and chorus regime
+     (~1.8k-slot line, two lane tiles), t_chunk < T so the cross-chunk
+     VMEM state carry executes;
+  2. phaser fwd — 6-stage TPT allpass cascade with feedback;
+  3. LSTM-64 fwd — production hidden size, [latent; x] packing;
+  4. LSTM-64 train fwd+bwd — the custom-VJP kernel pair vs jax.grad of
+     the flax scan model at the TBPTT chunk length (1024), all param /
+     input / state cotangents.
+
+Usage: python scripts/tpu_parity_gate.py   (TPU must be otherwise idle)
+Exits nonzero on the first tolerance breach; prints one line per check.
+
+Tolerances are wider than the interpret-mode tests (2e-6): on TPU the
+scan reference itself runs MXU matmuls with different accumulation
+order than the fused kernels, so f32 ULP-level equality is not the
+contract — agreement to ~1e-4 absolute on [-1, 1] audio is.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+FAILURES = []
+INTERPRET = False  # set on CPU so the gate is smokeable without the chip
+QUICK = False  # --quick (auto on CPU): small shapes, harness smoke only
+
+
+def check(name, got, want, atol, rtol=0.0):
+    got, want = np.asarray(got), np.asarray(want)
+    delta = np.max(np.abs(got - want))
+    tol = atol + rtol * np.max(np.abs(want))
+    status = "PASS" if delta <= tol else "FAIL"
+    print(f"[{status}] {name}: max|Δ|={delta:.3e} (tol {tol:.1e})")
+    if status == "FAIL":
+        FAILURES.append(name)
+
+
+def gate_flanger(rng):
+    from mod_extraction_tpu.ops.fx import _flanger_scan
+    from mod_extraction_tpu.ops.pallas_fx import flanger_pallas
+
+    for regime, d, lo in (("flanger", 485, 0.5), ("chorus", 1764, 1325.0)):
+        b, c, t = (6, 1, 512) if QUICK else (130, 1, 8192)  # b*c > 128 -> two lane tiles
+        x = jnp.asarray(rng.uniform(-0.5, 0.5, (b, c, t)).astype(np.float32))
+        mod = rng.uniform(0, 1, (b, c, t)).astype(np.float32)
+        delay = jnp.asarray((mod * (d - lo - 2) + lo).astype(np.float32))
+        fb = jnp.asarray(rng.uniform(0, 0.7, (b, 1, 1)).astype(np.float32))
+        depth = jnp.asarray(rng.uniform(0.5, 1.0, (b, 1, 1)).astype(np.float32))
+        mix = jnp.asarray(rng.uniform(0.5, 1.0, (b, 1, 1)).astype(np.float32))
+        ref = jax.jit(_flanger_scan, static_argnums=5)(
+            x, delay, fb, depth, mix, d
+        )
+        out = flanger_pallas(x, delay, fb, depth, mix, d, t_chunk=4096,
+                             interpret=INTERPRET)
+        check(f"flanger fwd ({regime} regime)", out, ref, atol=1e-4)
+
+
+def gate_phaser(rng):
+    from mod_extraction_tpu.ops.fx import _phaser_scan
+    from mod_extraction_tpu.ops.pallas_fx import phaser_pallas
+
+    b, c, t, n_stages = (4, 1, 512, 6) if QUICK else (128, 1, 8192, 6)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (b, c, t)).astype(np.float32))
+    g = jnp.asarray(rng.uniform(0.01, 1.5, (b, c, t)).astype(np.float32))
+    fb = jnp.asarray(rng.uniform(0, 0.7, (b, 1, 1)).astype(np.float32))
+    mix = jnp.asarray(rng.uniform(0.3, 1.0, (b, 1, 1)).astype(np.float32))
+    ref = _phaser_scan(x, g, fb, mix, n_stages)
+    out = phaser_pallas(x, g, fb, mix, n_stages=n_stages, t_chunk=4096,
+                        interpret=INTERPRET)
+    check("phaser fwd (6 stages)", out, ref, atol=1e-4)
+
+
+def _lstm_setup(rng, b, t, hid=64):
+    from mod_extraction_tpu.models.lstm import LSTMEffectModel, lstm_init_state
+
+    model = LSTMEffectModel(in_ch=1, out_ch=1, n_hidden=hid, latent_dim=1)
+    x = jnp.asarray((0.3 * rng.standard_normal((b, 1, t))).astype(np.float32))
+    latent = jnp.asarray(rng.uniform(0, 1, (b, 1, t)).astype(np.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), x, latent, lstm_init_state(b, hid)
+    )
+    return model, params, x, latent, lstm_init_state(b, hid)
+
+
+def gate_lstm_fwd(rng):
+    from mod_extraction_tpu.ops.pallas_lstm import lstm_effect_model_pallas
+
+    model, params, x, latent, h0 = _lstm_setup(
+        rng, b=4 if QUICK else 32, t=512 if QUICK else 4096
+    )
+    y_ref, (h_ref, c_ref) = jax.jit(model.apply)(params, x, latent, h0)
+    y, (h, c) = lstm_effect_model_pallas(
+        params, x, latent, h0, t_chunk=2048, interpret=INTERPRET
+    )
+    check("lstm-64 fwd y", y, y_ref, atol=1e-4)
+    check("lstm-64 fwd h_n", h, h_ref, atol=1e-4)
+    check("lstm-64 fwd c_n", c, c_ref, atol=1e-4)
+
+
+def gate_lstm_train(rng):
+    from mod_extraction_tpu.ops.pallas_lstm import (
+        lstm_effect_model_pallas_train,
+    )
+
+    b, t = (2, 256) if QUICK else (8, 1024)  # TBPTT update-chunk length
+    model, params, x, latent, h0 = _lstm_setup(rng, b, t)
+    tgt = jnp.asarray(rng.standard_normal((b, 1, t)).astype(np.float32))
+
+    def loss_scan(p, x, lat, st):
+        y, (hn, cn) = model.apply(p, x, lat, st)
+        return jnp.mean((y - tgt) ** 2) + jnp.mean(hn**2) + jnp.mean(cn**2)
+
+    def loss_pal(p, x, lat, st):
+        y, (hn, cn) = lstm_effect_model_pallas_train(
+            p, x, lat, st, interpret=INTERPRET
+        )
+        return jnp.mean((y - tgt) ** 2) + jnp.mean(hn**2) + jnp.mean(cn**2)
+
+    args = (params, x, latent, h0)
+    l_ref, g_ref = jax.jit(
+        jax.value_and_grad(loss_scan, argnums=(0, 1, 2, 3))
+    )(*args)
+    l_pal, g_pal = jax.jit(
+        jax.value_and_grad(loss_pal, argnums=(0, 1, 2, 3))
+    )(*args)
+    check("lstm-64 train loss", l_pal, l_ref, atol=1e-6, rtol=1e-4)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pal = jax.tree.leaves(g_pal)
+    assert len(flat_ref) == len(flat_pal)
+    deltas = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(r))))
+        for a, r in zip(flat_pal, flat_ref)
+    ]
+    scale = max(float(np.max(np.abs(np.asarray(r)))) for r in flat_ref)
+    check(
+        f"lstm-64 train grads ({len(deltas)} leaves)",
+        np.asarray([max(deltas)]),
+        np.asarray([0.0]),
+        atol=5e-4 * max(scale, 1.0),
+    )
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}:{dev.device_kind}")
+    if dev.platform == "cpu":
+        global INTERPRET, QUICK
+        INTERPRET = QUICK = True
+        print(
+            "WARNING: running on CPU in interpret mode with small shapes — "
+            "the real gate is plain `python scripts/tpu_parity_gate.py` on "
+            "the chip"
+        )
+    if "--quick" in sys.argv[1:]:
+        QUICK = True
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    gate_flanger(rng)
+    gate_phaser(rng)
+    gate_lstm_fwd(rng)
+    gate_lstm_train(rng)
+    print(f"gate finished in {time.time() - t0:.0f}s: "
+          + ("FAIL " + ", ".join(FAILURES) if FAILURES else "ALL PASS"))
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
