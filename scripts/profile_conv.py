@@ -1,0 +1,228 @@
+"""Per-layer conv-stack profiler for the Spectral2DCNN throughput work
+(VERDICT r2 weak #2: conv bwd is the step ceiling at ~46% of v5e bf16
+peak; the honest >=10x bench target needs the whole step ~1.5x faster).
+
+Times, on the real chip (plain `python scripts/profile_conv.py`):
+  * each conv layer's fwd and fwd+bwd at its true shape, in the current
+    formulation (flax nn.Conv, channels-last, bf16) and alternatives:
+      - raw lax.conv_general_dilated (same layout)
+      - freq-im2col: fold the 5 freq taps into channels (C*5) then do 13
+        time-tap matmuls (einsum) — turns the conv into pure MXU matmuls
+  * the whole model fwd / train-step-shaped fwd+bwd for context.
+
+Axon-tunnel timing rules (verify skill): block_until_ready doesn't
+block; each measurement returns a scalar that depends on the whole
+computation, and the wall time of pulling it is the measurement.  The
+~24 ms tunnel round trip is removed by differencing two iteration
+counts.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+
+B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
+T = 345
+K = (5, 13)
+# (Cin, Cout, F, t_dil) per layer, paper config
+LAYERS = [
+    (2, 64, 256, 1),
+    (64, 64, 128, 1),
+    (64, 64, 64, 2),
+    (64, 64, 32, 4),
+    (64, 64, 16, 8),
+    (64, 64, 8, 16),
+]
+
+
+def _pads(k, d):
+    span = (k - 1) * d
+    return (span // 2, span - span // 2)
+
+
+def time_scalar_fn(fn, n_lo=2, n_hi=12):
+    """fn(i) -> scalar jnp value; returns seconds per call."""
+
+    @partial(jax.jit, static_argnums=0)
+    def run(n):
+        def body(acc, i):
+            return acc + fn(i), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
+    float(run(n_lo))  # compile both counts
+    float(run(n_hi))
+    t0 = time.perf_counter()
+    float(run(n_lo))
+    t1 = time.perf_counter()
+    float(run(n_hi))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
+
+
+def flops_conv(cin, cout, f, t=T, kf=K[0], kt=K[1], batch=B):
+    return 2.0 * batch * f * t * cin * cout * kf * kt
+
+
+def report(name, sec, flops):
+    print(f"{name:45s} {sec * 1e3:8.2f} ms  {flops / sec / 1e12:6.1f} TFLOP/s")
+
+
+def conv_lax(x, w, t_dil, b_dil=1):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=(_pads(K[0], b_dil), _pads(K[1], t_dil)),
+        rhs_dilation=(b_dil, t_dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def conv_freq_im2col(x, w, t_dil):
+    """Fold the 5 freq taps into channels, then 13 dilated time-tap
+    matmuls: Y[b,f,t,co] = sum_j X5[b,f,t+dt*(j-6),:] @ W5[j]."""
+    b, f, t, c = x.shape
+    kf, kt = K
+    pf = _pads(kf, 1)
+    xp = jnp.pad(x, ((0, 0), pf, (0, 0), (0, 0)))
+    x5 = jnp.concatenate([xp[:, i : i + f] for i in range(kf)], axis=-1)
+    # (B, F, T, C*kf); W: (kf, kt, C, Cout) -> (kt, kf*C, Cout)
+    w5 = jnp.transpose(w, (1, 0, 2, 3)).reshape(kt, kf * c, -1)
+    pt = _pads(kt, t_dil)
+    x5p = jnp.pad(x5, ((0, 0), (0, 0), pt, (0, 0)))
+    out = None
+    for j in range(kt):
+        s = j * t_dil
+        contrib = jnp.einsum(
+            "bftc,co->bfto",
+            x5p[:, :, s : s + t],
+            w5[j],
+            preferred_element_type=jnp.float32,
+        )
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def bench_layer(idx, cin, cout, f, t_dil, dtype):
+    rng = np.random.default_rng(idx)
+    x = jnp.asarray(rng.standard_normal((B, f, T, cin)), dtype)
+    w = jnp.asarray(rng.standard_normal((K[0], K[1], cin, cout)) * 0.05, dtype)
+    fl = flops_conv(cin, cout, f)
+
+    impls = {"lax.conv": conv_lax, "freq-im2col": conv_freq_im2col}
+    for name, impl in impls.items():
+        if name == "lax.conv":
+            f_fwd = lambda i: jnp.sum(impl(x + i * 1e-6, w, t_dil)) * 1e-9
+        else:
+            f_fwd = lambda i: jnp.sum(impl(x + i * 1e-6, w, t_dil)) * 1e-9
+        sec = time_scalar_fn(f_fwd)
+        report(f"L{idx} {name} fwd {dtype}", sec, fl)
+
+        def f_bwd(i, impl=impl):
+            def loss(w, x):
+                return jnp.sum(impl(x, w, t_dil).astype(jnp.float32) ** 2) * 1e-9
+
+            gw, gx = jax.grad(loss, argnums=(0, 1))(w, x + i * 1e-6)
+            return jnp.sum(gw.astype(jnp.float32)) + jnp.sum(
+                gx.astype(jnp.float32)
+            ) * 1e-3
+
+        sec = time_scalar_fn(f_bwd)
+        report(f"L{idx} {name} fwd+bwd {dtype}", sec, 3 * fl)
+
+
+def bench_model():
+    import optax
+
+    from mod_extraction_tpu.models import Spectral2DCNN
+    from mod_extraction_tpu.train.lfo_task import LFOExtractionTask
+    from mod_extraction_tpu.train.render import RenderConfig
+    from mod_extraction_tpu.data.synthetic import make_synthetic_batch
+
+    sr, n = 44100.0, 88200
+    model = Spectral2DCNN(
+        in_ch=2, n_samples=n, sr=sr, n_fft=1024, hop_len=256, n_mels=256,
+        kernel_size=K, out_channels=(64,) * 6,
+        temp_dilations=(1, 1, 2, 4, 8, 16), pool_size=(2, 1),
+        freq_mask_amount=0.25, time_mask_amount=0.25,
+        compute_dtype="bfloat16",
+    )
+    task = LFOExtractionTask(
+        model=model,
+        render_cfg=RenderConfig(sr=sr, n_samples=n, effects=(2,),
+                                max_delay_samples=485),
+        optimizer=optax.adamw(1e-4, b1=0.8, b2=0.99),
+        loss_dict={"l1": 1.0, "fdl1": 5.0, "sdl1": 10.0, "mse": 0.0},
+    )
+    key = jax.random.PRNGKey(0)
+    state = task.init_state(key)
+    batch = jax.tree.map(
+        jnp.asarray, make_synthetic_batch(0, B, n, sr, "flanger")
+    )
+
+    # full train step (render+mel+fwd+bwd+adam), serialized step-to-step
+    def step_once(state):
+        state, m = task.train_step(state, batch, key)
+        return state, jax.tree.leaves(m)[0]
+
+    state, _ = step_once(state)
+    n_lo, n_hi = 2, 8
+    st = state
+
+    def run(nsteps):
+        s = st
+        tot = 0.0
+        for _ in range(nsteps):
+            s, v = step_once(s)
+            tot = tot + v
+        return tot
+
+    r2 = jax.jit(lambda: run(n_lo))
+    r8 = jax.jit(lambda: run(n_hi))
+    float(r2()); float(r8())
+    t0 = time.perf_counter(); float(r2()); t1 = time.perf_counter()
+    float(r8()); t2 = time.perf_counter()
+    sec = ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
+    audio = B * n / sr
+    print(f"full train step: {sec * 1e3:.1f} ms -> {audio / sec:.0f} audio-s/s")
+
+
+def check_impls():
+    """freq-im2col must equal lax.conv (small shapes, f32)."""
+    rng = np.random.default_rng(0)
+    for t_dil in (1, 4):
+        x = jnp.asarray(rng.standard_normal((2, 16, 40, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((K[0], K[1], 8, 8)) * 0.1,
+                        jnp.float32)
+        a = conv_lax(x, w, t_dil)
+        b = conv_freq_im2col(x, w, t_dil)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    print("impl parity check: OK")
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}:{dev.device_kind}  batch={B}")
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+    if only in (None, "check"):
+        check_impls()
+    if only in (None, "layers"):
+        for dtype in ("bfloat16",):
+            for idx, (cin, cout, f, t_dil) in enumerate(LAYERS):
+                bench_layer(idx, cin, cout, f, t_dil, dtype)
+    if only in (None, "model"):
+        bench_model()
+
+
+if __name__ == "__main__":
+    main()
