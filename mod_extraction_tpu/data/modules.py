@@ -405,9 +405,11 @@ class RandomPreprocessedDataModule(PreprocessedDataModule):
         sr: float,
         num_workers: int = 4,
         seed: int = 0,
+        transfer_dtype: str = "float32",
     ) -> None:
         super().__init__(
-            batch_size, train_dir, val_dir, n_samples, sr, num_workers, seed=seed
+            batch_size, train_dir, val_dir, n_samples, sr, num_workers,
+            seed=seed, transfer_dtype=transfer_dtype,
         )
         self.train_num = train_num_examples_per_epoch
         self.val_num = val_num_examples_per_epoch

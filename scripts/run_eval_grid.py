@@ -284,6 +284,53 @@ def _em_sim_variants(base_cfg):
             yield f"{effect}__{kind}", c
 
 
+def build_gt_control_blocks(validate_many, table):
+    """The sim_chorus GROUND-TRUTH-conditioning control block (VERDICT r2
+    #3): LSTM-64 conditioned on the true mod signal over the preproc GT
+    corpus, paired with the shipped rand baseline evaluated on the SAME
+    corpus.  Settles whether the chorus no-win (extractor-conditioned esr
+    0.4224 vs rand 0.4244) is an LSTM-64 capacity floor (GT ~= rand) or a
+    conditioning-path fault (GT << rand).  Skipped with a note until the
+    control is trained (scripts/make_sim_chorus_gt_control.py +
+    configs/train_em_sim_chorus_gtctrl.yml)."""
+    import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    ckpt = "models/lstm_64__gt_mod_sig__sim_chorus_gt.npz"
+    missing = [
+        p
+        for p in (ckpt, "data/sim_chorus_gt/val")
+        if not os.path.exists(p)
+    ]
+    if missing:
+        return [
+            "SKIPPED (gt control not trained): " + "; ".join(missing)
+            + " — see configs/train_em_sim_chorus_gtctrl.yml\n"
+        ]
+    base = load_yaml_with_includes("train_em_sim_chorus_gtctrl.yml")
+    gt = copy.deepcopy(base)
+    gt["ckpt_path"] = ckpt
+    rand = copy.deepcopy(base)
+    rand["ckpt_path"] = "models/rand_baseline__sim_chorus.npz"
+    rand["model"]["init_args"]["lfo_model"] = load_yaml_with_includes(
+        "configs/models/baseline_sim_chorus.yml"
+    )
+    blocks = []
+    try:
+        # different model blocks (GT path vs RandomLFO) -> different
+        # tasks -> one validate_many call each
+        gt_metrics = validate_many([("gt", gt)])[0][1]
+        rand_metrics = validate_many([("rand", rand)])[0][1]
+        blocks.append(table(gt_metrics))
+        blocks.append(f"{table(rand_metrics)}\nsim_chorus gt control\n")
+    except Exception:
+        blocks.append(
+            f"FAILED (sim_chorus gt control):\n{traceback.format_exc()}"
+        )
+    return blocks
+
+
 def build_em_sim_blocks(cfg, validate_many, table):
     """Reference-layout em-sim archive blocks (lstm table, rand table,
     effect label — `eval_em_unseen_effect.txt` layout) with PER-EFFECT
@@ -404,6 +451,7 @@ if __name__ == "__main__":
             cfg = load_yaml_with_includes(name)
             if em_sim:
                 blocks.extend(build_em_sim_blocks(cfg, validate_many, table))
+                blocks.extend(build_gt_control_blocks(validate_many, table))
             else:
                 if rand_suite:
                     groups = [list(_rand_suite_variants(cfg))]

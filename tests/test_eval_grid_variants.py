@@ -146,6 +146,49 @@ def test_em_sim_lstm_ckpts_follow_base_config():
         )
 
 
+def test_gt_control_block(monkeypatch):
+    """Skipped with a pointer until the control ships; once present, one
+    GT table + one rand table labeled 'sim_chorus gt control', each via
+    its own validate_many call (different tasks)."""
+    blocks = _MOD.build_gt_control_blocks(None, None)
+    assert len(blocks) == 1 and blocks[0].startswith("SKIPPED")
+    assert "train_em_sim_chorus_gtctrl" in blocks[0]
+
+    import os as _os
+
+    real_exists = _os.path.exists
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: True if "sim_chorus_gt" in str(p) else real_exists(p),
+    )
+    calls = []
+
+    def fake_validate_many(variants):
+        calls.append([lb for lb, _ in variants])
+        return [(lb, {"esr": 0.2, "l1": 0.02}) for lb, _ in variants]
+
+    blocks = _MOD.build_gt_control_blocks(
+        fake_validate_many, lambda m: f"TABLE({sorted(m)})"
+    )
+    assert calls == [["gt"], ["rand"]]
+    assert len(blocks) == 2
+    assert blocks[1].splitlines()[-1] == "sim_chorus gt control"
+    cfgs = []
+
+    def grab_validate_many(variants):
+        cfgs.extend(variants)
+        return [(lb, {}) for lb, _ in variants]
+
+    _MOD.build_gt_control_blocks(grab_validate_many, lambda m: "T")
+    by = dict(cfgs)
+    assert by["gt"]["model"]["init_args"]["lfo_model"] is None
+    assert by["gt"]["ckpt_path"].endswith("gt_mod_sig__sim_chorus_gt.npz")
+    assert by["rand"]["ckpt_path"].endswith("rand_baseline__sim_chorus.npz")
+    assert by["rand"]["model"]["init_args"]["lfo_model"]["class_path"].endswith(
+        "RandomLFO"
+    )
+
+
 def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
     """One missing corpus/checkpoint skips only its own block; healthy
     effects still produce their paired lstm/rand tables (the archive
