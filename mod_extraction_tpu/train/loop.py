@@ -43,15 +43,62 @@ def _mean_metrics(acc: list[Dict[str, Any]]) -> Dict[str, float]:
 
 
 class MetricLogger:
-    """Console + JSONL metric sink (reference: TensorBoard/wandb loggers,
-    `cli.py:39-45,152-160`)."""
+    """Console + JSONL + TensorBoard metric sink (reference: TensorBoard
+    always on + optional wandb, `cli.py:39-45,152-160`).
 
-    def __init__(self, out_dir: str, run_name: str) -> None:
+    TensorBoard events are written with the tensorboard package's own
+    pure-python `EventFileWriter` (no TF / torch dependency) so existing
+    TB tooling can plot the runs; if the package is absent the sink
+    degrades to JSONL/console with one warning (the JSONL file remains
+    the canonical record either way)."""
+
+    def __init__(self, out_dir: str, run_name: str, tensorboard: bool = True) -> None:
         self.path = os.path.join(ensure_dir(out_dir), f"{run_name}_metrics.jsonl")
+        self._tb = None
+        self._tb_dir = os.path.join(out_dir, f"{run_name}_tb")
+        self._tb_wanted = tensorboard
+
+    def _tb_writer(self):
+        if self._tb is None and self._tb_wanted:
+            try:
+                from tensorboard.summary.writer.event_file_writer import (
+                    EventFileWriter,
+                )
+
+                self._tb = EventFileWriter(ensure_dir(self._tb_dir))
+            except Exception as e:  # pragma: no cover - env-dependent
+                self._tb_wanted = False
+                log.warning("tensorboard unavailable (%s); JSONL only", e)
+        return self._tb
+
+    def _log_tb(self, payload: Dict[str, Any]) -> None:
+        tb = self._tb_writer()
+        if tb is None:
+            return
+        from tensorboard.compat.proto.event_pb2 import Event
+        from tensorboard.compat.proto.summary_pb2 import Summary
+
+        step = int(payload.get("step", payload.get("epoch", 0)))
+        values = [
+            Summary.Value(tag=k, simple_value=float(v))
+            for k, v in payload.items()
+            if k not in ("phase", "step", "epoch") and isinstance(v, (int, float))
+        ]
+        if values:
+            tb.add_event(
+                Event(wall_time=time.time(), step=step,
+                      summary=Summary(value=values))
+            )
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     def log(self, payload: Dict[str, Any]) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(payload) + "\n")
+        self._log_tb(payload)
         parts = "  ".join(
             f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in payload.items()
@@ -286,6 +333,7 @@ class Trainer:
             self.ckpts.save_last(state, epoch, global_step)
             if "loss" in val_metrics:
                 self.ckpts.maybe_save_best(state, val_metrics["loss"], epoch, global_step)
+        self.metrics.close()
         return state
 
     def validate(self, state, val_loader=None, epoch: int = 0) -> Dict[str, float]:
