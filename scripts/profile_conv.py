@@ -112,6 +112,98 @@ def conv_freq_im2col(x, w, t_dil):
     return out
 
 
+def fold_freq(x):
+    """(B, F, T, C) -> (B, F/2, T, 2C): freq-row pairs folded into
+    channels (row parity r goes to channel block r*C..r*C+C)."""
+    b, f, t, c = x.shape
+    x = x.reshape(b, f // 2, 2, t, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(b, f // 2, t, 2 * c)
+
+
+def unfold_freq(x):
+    b, g, t, c2 = x.shape
+    c = c2 // 2
+    x = x.reshape(b, g, t, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(b, 2 * g, t, c)
+
+
+def fold_weights(w):
+    """(5, kt, C, Co) -> (3, kt, 2C, 2Co) with the block structure of the
+    folded conv: output subrow r_out at folded row offset kr-1 receives
+    input tap delta (freq offset) iff floor(delta/2) == kr-1, from input
+    channel block (delta mod 2)."""
+    kf, kt, c, co = w.shape
+    assert kf == 5
+    wf = jnp.zeros((3, kt, 2 * c, 2 * co), w.dtype)
+    for r_out in (0, 1):
+        for delta in range(-2, 3):
+            d = r_out + delta  # input row = 2g + r_out + delta = 2g' + r_in
+            kr = d // 2 + 1  # python floor-div
+            r_in = d % 2
+            wf = wf.at[
+                kr, :, r_in * c : (r_in + 1) * c, r_out * co : (r_out + 1) * co
+            ].add(w[delta + 2])
+    return wf
+
+
+def conv_freq_folded(x, w, t_dil):
+    """The (5,13) conv computed as a (3,13) conv on the freq-folded
+    layout (C=128 channels) — 1.2x the MACs, but full-lane matmuls if
+    C=64 is what starves the MXU."""
+    xf = fold_freq(x)
+    wf = fold_weights(w)
+    yf = jax.lax.conv_general_dilated(
+        xf,
+        wf,
+        window_strides=(1, 1),
+        padding=((1, 1), _pads(K[1], t_dil)),
+        rhs_dilation=(1, t_dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return unfold_freq(yf)
+
+
+def bench_c128_control(dtype):
+    """Pure-control measurement: same-FLOP conv at Cin=Cout=128 — how
+    fast does XLA run the conv when channels fill the lanes?"""
+    rng = np.random.default_rng(42)
+    f = 128
+    x = jnp.asarray(rng.standard_normal((B, f, T, 128)), dtype)
+    w = jnp.asarray(rng.standard_normal((3, 13, 128, 128)) * 0.05, dtype)
+    fl = 2.0 * B * f * T * 128 * 128 * 3 * 13
+
+    def f_fwd(i):
+        y = jax.lax.conv_general_dilated(
+            x + i * 1e-6, w, (1, 1), ((1, 1), (6, 6)),
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(y) * 1e-9
+
+    report("C128 control (3,13) fwd", time_scalar_fn(f_fwd), fl)
+
+    def f_bwd(i):
+        def loss(w, x):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (6, 6)),
+                rhs_dilation=(1, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-9
+
+        gw, gx = jax.grad(loss, argnums=(0, 1))(w, x + i * 1e-6)
+        return jnp.sum(gw.astype(jnp.float32)) + jnp.sum(
+            gx.astype(jnp.float32)
+        ) * 1e-3
+
+    report("C128 control (3,13) fwd+bwd", time_scalar_fn(f_bwd), 3 * fl)
+
+
 def bench_layer(idx, cin, cout, f, t_dil, dtype):
     rng = np.random.default_rng(idx)
     x = jnp.asarray(rng.standard_normal((B, f, T, cin)), dtype)
@@ -119,6 +211,8 @@ def bench_layer(idx, cin, cout, f, t_dil, dtype):
     fl = flops_conv(cin, cout, f)
 
     impls = {"lax.conv": conv_lax, "freq-im2col": conv_freq_im2col}
+    if cin == 64:
+        impls["freq-folded"] = conv_freq_folded
     for name, impl in impls.items():
         if name == "lax.conv":
             f_fwd = lambda i: jnp.sum(impl(x + i * 1e-6, w, t_dil)) * 1e-9
@@ -207,7 +301,10 @@ def check_impls():
         b = conv_freq_im2col(x, w, t_dil)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
-    print("impl parity check: OK")
+        c = conv_freq_folded(x, w, t_dil)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-4)
+    print("impl parity check: OK (im2col + freq-folded)")
 
 
 def main():
@@ -218,6 +315,7 @@ def main():
         check_impls()
     if only in (None, "layers"):
         for dtype in ("bfloat16",):
+            bench_c128_control(dtype)
             for idx, (cin, cout, f, t_dil) in enumerate(LAYERS):
                 bench_layer(idx, cin, cout, f, t_dil, dtype)
     if only in (None, "model"):
