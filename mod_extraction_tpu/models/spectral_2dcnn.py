@@ -32,9 +32,52 @@ from mod_extraction_tpu.models.common import (
     PReLU,
     layer_norm_no_affine,
     max_pool_floor,
-    same_pads,
+)
+from mod_extraction_tpu.ops.conv import (
+    conv2d_freq_folded,
+    conv2d_same,
+    foldable,
 )
 from mod_extraction_tpu.ops.stft import mel_spectrogram, spec_augment
+
+
+class _TrunkConv(nn.Module):
+    """Drop-in for the trunk's `nn.Conv` with a selectable compute path.
+
+    Parameter names/shapes/init match `nn.Conv` exactly (kernel HWIO
+    lecun-normal + zero bias), and instances are given the `Conv_{i}`
+    names flax would have auto-assigned — existing checkpoints load
+    unchanged.  `impl="freq_folded"` computes the same conv via the
+    freq-row-pair folded layout (ops/conv.py) when the layer qualifies
+    (kernel-5 freq axis, bin dilation 1, even freq dim); otherwise it
+    falls back to the plain lax path."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    bin_dil: int
+    temp_dil: int
+    dtype: jnp.dtype
+    impl: str = "lax"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kf, kt = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kf, kt, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if self.impl == "freq_folded" and foldable(
+            kernel.shape, self.bin_dil, x.shape[1]
+        ):
+            y = conv2d_freq_folded(x, k, self.bin_dil, self.temp_dil,
+                                   preferred=None)
+        else:
+            y = conv2d_same(x, k, self.bin_dil, self.temp_dil, preferred=None)
+        return y + bias.astype(y.dtype)
 
 
 class Spectral2DCNN(nn.Module):
@@ -58,6 +101,9 @@ class Spectral2DCNN(nn.Module):
     # bf16 is the TPU-native choice (~4x MXU throughput on v5e); params,
     # LayerNorm statistics, and the sigmoid head stay fp32.
     compute_dtype: str = "float32"
+    # Conv compute path: "lax" (plain conv) or "freq_folded" (the same
+    # conv as full-lane C=128 matmuls via freq-row folding, ops/conv.py).
+    conv_impl: str = "lax"
 
     def _channels(self):
         return list(self.out_channels) if self.out_channels else [64] * 5
@@ -108,20 +154,20 @@ class Spectral2DCNN(nn.Module):
         h = jnp.transpose(h, (0, 2, 3, 1))  # (B, mels, frames, C) channel-last
 
         cdtype = jnp.dtype(self.compute_dtype)
-        for out_ch, b_dil, t_dil in zip(chans, bin_dil, temp_dil):
+        for i, (out_ch, b_dil, t_dil) in enumerate(zip(chans, bin_dil, temp_dil)):
             if self.use_ln:
                 # LN statistics in fp32 for stability, then drop to the
                 # compute dtype for the MXU conv.
                 h = layer_norm_no_affine(h.astype(jnp.float32), axes=(1, 2))
-            pad_b = same_pads(self.kernel_size[0], b_dil)
-            pad_t = same_pads(self.kernel_size[1], t_dil)
-            h = nn.Conv(
-                out_ch,
+            h = _TrunkConv(
+                features=out_ch,
                 kernel_size=self.kernel_size,
-                kernel_dilation=(b_dil, t_dil),
-                padding=(pad_b, pad_t),
+                bin_dil=b_dil,
+                temp_dil=t_dil,
                 dtype=cdtype,
-            )(h.astype(cdtype))
+                impl=self.conv_impl,
+                name=f"Conv_{i}",  # nn.Conv's auto-name: ckpt-compatible
+            )(h)
             h = max_pool_floor(h, self.pool_size)
             h = PReLU(out_ch)(h)
 

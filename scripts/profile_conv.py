@@ -27,6 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 from functools import partial
 
+from mod_extraction_tpu.ops.conv import conv2d_freq_folded as _folded
+
+
+def conv_freq_folded(x, w, t_dil):
+    return _folded(x, w, 1, t_dil)
+
+
 B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
 T = 345
 K = (5, 13)
@@ -110,60 +117,6 @@ def conv_freq_im2col(x, w, t_dil):
         )
         out = contrib if out is None else out + contrib
     return out
-
-
-def fold_freq(x):
-    """(B, F, T, C) -> (B, F/2, T, 2C): freq-row pairs folded into
-    channels (row parity r goes to channel block r*C..r*C+C)."""
-    b, f, t, c = x.shape
-    x = x.reshape(b, f // 2, 2, t, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4))
-    return x.reshape(b, f // 2, t, 2 * c)
-
-
-def unfold_freq(x):
-    b, g, t, c2 = x.shape
-    c = c2 // 2
-    x = x.reshape(b, g, t, 2, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4))
-    return x.reshape(b, 2 * g, t, c)
-
-
-def fold_weights(w):
-    """(5, kt, C, Co) -> (3, kt, 2C, 2Co) with the block structure of the
-    folded conv: output subrow r_out at folded row offset kr-1 receives
-    input tap delta (freq offset) iff floor(delta/2) == kr-1, from input
-    channel block (delta mod 2)."""
-    kf, kt, c, co = w.shape
-    assert kf == 5
-    wf = jnp.zeros((3, kt, 2 * c, 2 * co), w.dtype)
-    for r_out in (0, 1):
-        for delta in range(-2, 3):
-            d = r_out + delta  # input row = 2g + r_out + delta = 2g' + r_in
-            kr = d // 2 + 1  # python floor-div
-            r_in = d % 2
-            wf = wf.at[
-                kr, :, r_in * c : (r_in + 1) * c, r_out * co : (r_out + 1) * co
-            ].add(w[delta + 2])
-    return wf
-
-
-def conv_freq_folded(x, w, t_dil):
-    """The (5,13) conv computed as a (3,13) conv on the freq-folded
-    layout (C=128 channels) — 1.2x the MACs, but full-lane matmuls if
-    C=64 is what starves the MXU."""
-    xf = fold_freq(x)
-    wf = fold_weights(w)
-    yf = jax.lax.conv_general_dilated(
-        xf,
-        wf,
-        window_strides=(1, 1),
-        padding=((1, 1), _pads(K[1], t_dil)),
-        rhs_dilation=(1, t_dil),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return unfold_freq(yf)
 
 
 def bench_c128_control(dtype):

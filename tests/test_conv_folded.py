@@ -1,0 +1,72 @@
+"""Freq-folded conv path (ops/conv.py): exact-math equivalence with the
+plain lax conv, both at the op level and through the full Spectral2DCNN
+trunk with shared parameters (the folded path must be a pure compute-
+layout change — same params, same outputs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mod_extraction_tpu.ops.conv import (
+    conv2d_freq_folded,
+    conv2d_same,
+    fold_freq,
+    foldable,
+    unfold_freq,
+)
+
+
+@pytest.mark.parametrize("t_dil", [1, 2, 8])
+def test_folded_equals_lax(rng, t_dil):
+    x = jnp.asarray(rng.standard_normal((3, 16, 50, 8)).astype(np.float32))
+    w = jnp.asarray(
+        (0.1 * rng.standard_normal((5, 13, 8, 12))).astype(np.float32)
+    )
+    a = conv2d_same(x, w, 1, t_dil)
+    b = conv2d_freq_folded(x, w, 1, t_dil)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fold_unfold_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 4)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(unfold_freq(fold_freq(x))), np.asarray(x)
+    )
+
+
+def test_foldable_guards():
+    assert foldable((5, 13, 64, 64), bin_dil=1, f=256)
+    assert not foldable((5, 13, 64, 64), bin_dil=2, f=256)  # bin dilation
+    assert not foldable((3, 13, 64, 64), bin_dil=1, f=256)  # kernel != 5
+    assert not foldable((5, 13, 64, 64), bin_dil=1, f=85)  # odd freq dim
+
+
+def test_spectral2dcnn_conv_impl_equivalence(rng):
+    """Same params, conv_impl='lax' vs 'freq_folded' -> same outputs.
+    Uses pool (2,1) so every trunk layer keeps an even freq dim (the
+    paper config); f32 so the comparison is tight."""
+    from mod_extraction_tpu.models import Spectral2DCNN
+
+    kw = dict(
+        in_ch=2, n_samples=8192, sr=44100, n_fft=512, hop_len=256,
+        n_mels=32, kernel_size=(5, 13), out_channels=(8, 8, 8),
+        temp_dilations=(1, 2, 4), pool_size=(2, 1),
+    )
+    m_lax = Spectral2DCNN(conv_impl="lax", **kw)
+    m_fold = Spectral2DCNN(conv_impl="freq_folded", **kw)
+    x = jnp.asarray(
+        (0.3 * rng.standard_normal((2, 2, 8192))).astype(np.float32)
+    )
+    params = m_lax.init(jax.random.PRNGKey(0), x)
+    y_lax, lat_lax = m_lax.apply(params, x)
+    y_fold, lat_fold = m_fold.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_lax), np.asarray(y_fold), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_lax), np.asarray(lat_fold), atol=2e-5
+    )
+    # and the param tree is checkpoint-shaped either way (Conv_i names)
+    assert "Conv_0" in params["params"] and "Conv_2" in params["params"]
+    assert set(params["params"]["Conv_0"]) == {"kernel", "bias"}
