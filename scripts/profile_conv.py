@@ -187,7 +187,7 @@ def bench_layer(idx, cin, cout, f, t_dil, dtype):
         report(f"L{idx} {name} fwd+bwd {dtype}", sec, 3 * fl)
 
 
-def bench_model():
+def bench_model(conv_impl="lax"):
     import optax
 
     from mod_extraction_tpu.models import Spectral2DCNN
@@ -201,7 +201,7 @@ def bench_model():
         kernel_size=K, out_channels=(64,) * 6,
         temp_dilations=(1, 1, 2, 4, 8, 16), pool_size=(2, 1),
         freq_mask_amount=0.25, time_mask_amount=0.25,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", conv_impl=conv_impl,
     )
     task = LFOExtractionTask(
         model=model,
@@ -240,7 +240,8 @@ def bench_model():
     float(r8()); t2 = time.perf_counter()
     sec = ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
     audio = B * n / sr
-    print(f"full train step: {sec * 1e3:.1f} ms -> {audio / sec:.0f} audio-s/s")
+    print(f"full train step [{conv_impl}]: {sec * 1e3:.1f} ms -> "
+          f"{audio / sec:.0f} audio-s/s")
 
 
 def check_impls():
@@ -272,7 +273,9 @@ def main():
             for idx, (cin, cout, f, t_dil) in enumerate(LAYERS):
                 bench_layer(idx, cin, cout, f, t_dil, dtype)
     if only in (None, "model"):
-        bench_model()
+        impl = (sys.argv[sys.argv.index("--conv-impl") + 1]
+                if "--conv-impl" in sys.argv else "lax")
+        bench_model(impl)
 
 
 if __name__ == "__main__":
