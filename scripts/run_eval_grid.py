@@ -284,6 +284,95 @@ def _em_sim_variants(base_cfg):
             yield f"{effect}__{kind}", c
 
 
+# The reference's 7 unseen-effect blocks (eval_em_unseen_effect.txt):
+# (label, imported LSTM stem, required data dirs, ref LSTM esr, ref rand esr)
+EM_UNSEEN_BLOCKS = [
+    ("egfx phaser", "egfx_ph_2_peak",
+     ["data/egfx_clean_44100/test", "data/egfx_phaser_44100/test"],
+     0.4247, 0.7760),
+    ("egfx flanger", "egfx_fl_2_peak",
+     ["data/egfx_clean_44100/test", "data/egfx_flanger_44100/test"],
+     0.9409, 0.9493),
+    ("egfx chorus", "egfx_ch_2_peak",
+     ["data/egfx_clean_44100/test", "data/egfx_chorus_44100/test"],
+     0.5938, 0.8226),
+    ("melda phaser irregular", "melda_ph_irregular",
+     ["data/melda_ph_irregular/test/dry", "data/melda_ph_irregular/test/wet"],
+     0.0824, 0.7869),
+    ("melda flanger irregular", "melda_fl_irregular",
+     ["data/melda_fl_irregular/test/dry", "data/melda_fl_irregular/test/wet"],
+     0.1810, 0.4458),
+    ("melda phaser quasi", "melda_ph_quasi",
+     ["data/melda_ph_quasi/test/dry", "data/melda_ph_quasi/test/wet"],
+     0.2176, 0.6107),
+    ("melda flanger quasi", "melda_fl_quasi",
+     ["data/melda_fl_quasi/test/dry", "data/melda_fl_quasi/test/wet"],
+     0.1369, 0.5069),
+]
+
+
+def build_em_unseen_stub():
+    """Per-block accounting for the unseen-effect suite when the EGFx /
+    Melda corpora are absent (VERDICT r2 missing #3): what IS computable
+    — each imported reference LSTM checkpoint loads and serves a forward
+    pass (recorded here with output stats) — and exactly which data each
+    block still needs, with the reference's archived anchors inline.
+    The in-environment analog suite (incl. the ground-truth-conditioning
+    control) lives in eval_em_sim.txt."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mod_extraction_tpu.models.lstm import LSTMEffectModel, lstm_init_state
+    from mod_extraction_tpu.train.checkpoints import load_weights
+
+    model = LSTMEffectModel(in_ch=1, out_ch=1, n_hidden=64, latent_dim=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((0.3 * rng.standard_normal((2, 1, 8820))).astype(np.float32))
+    lat = jnp.asarray(rng.uniform(0, 1, (2, 1, 8820)).astype(np.float32))
+
+    lines = [
+        "Unseen-effect suite: EGFx / Melda audio is not present in this",
+        "environment, so the reference's 14 tables cannot be reproduced",
+        "here.  What IS verifiable without the audio is archived below:",
+        "all 7 reference LSTM-64 checkpoints are imported and serve a",
+        "forward pass (full-precision parity with the reference weights is",
+        "pinned by tests/test_reference_ckpt_parity.py, atol 2e-6).  The",
+        "in-environment analog suite — 4 device-rendered unseen effects,",
+        "LSTM vs rand baseline, plus the ground-truth-conditioning",
+        "control — is archived in eval_em_sim.txt.",
+        "",
+    ]
+    stem = "models/lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+    for label, name, dirs, ref_lstm, ref_rand in EM_UNSEEN_BLOCKS:
+        ckpt = f"{stem}{name}.npz"
+        if os.path.isfile(ckpt):
+            params = load_weights(ckpt)
+            if "params" not in params:
+                params = {"params": params}
+            y, _ = jax.jit(model.apply)(
+                params, x, lat, lstm_init_state(2, 64)
+            )
+            status = (
+                f"ckpt imported + forward OK (out rms {float(jnp.sqrt(jnp.mean(y**2))):.4f})"
+            )
+        else:
+            status = f"ckpt MISSING ({ckpt})"
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        lines.append(
+            f"{label}: {status}; needs {', '.join(missing) if missing else 'nothing'}; "
+            f"reference archive esr {ref_lstm:.4f} (lstm) / {ref_rand:.4f} (rand)"
+        )
+    lines.append("")
+    lines.append(
+        "To reproduce: place the corpora per README 'Reproducing the paper"
+    )
+    lines.append(
+        "experiments', then run scripts/run_eval_grid.py eval eval_em_unseen_effect.yml"
+    )
+    return ["\n".join(lines) + "\n"]
+
+
 def build_gt_control_blocks(validate_many, table):
     """The sim_chorus GROUND-TRUTH-conditioning control block (VERDICT r2
     #3): LSTM-64 conditioned on the true mod signal over the preproc GT
@@ -447,6 +536,17 @@ if __name__ == "__main__":
         )
         print(f"=== {name} -> {target}")
         blocks = []
+        if (
+            os.path.basename(name) == "eval_em_unseen_effect.yml"
+            and not os.path.isdir("data/egfx_clean_44100/test")
+        ):
+            # EGFx/Melda audio absent: archive the computable facts
+            # (imported-ckpt forward smokes + per-block requirements)
+            # instead of a bare SKIPPED line
+            blocks = build_em_unseen_stub()
+            with open(target, "w") as f:
+                f.write("\n".join(blocks) + "\n")
+            continue
         try:
             cfg = load_yaml_with_includes(name)
             if em_sim:
