@@ -239,6 +239,20 @@ REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6"] = dict(
         "(scripts/extractor_r5_r6_chain.sh guard)."
     ),
 )
+REGISTRY["lstm_64__gt_mod_sig__sim_chorus_gt"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus_gtctrl.yml",
+    metrics_run="lstm_64__gt_mod_sig__sim_chorus_gt",
+    parent_extractor="none (ground-truth mod-sig conditioning)",
+    corpus="data/sim_chorus_gt (scripts/make_sim_chorus_gt_control.py)",
+    notes=(
+        "The sim_chorus GROUND-TRUTH conditioning control (VERDICT r2 "
+        "#3): same LSTM-64/TBPTT recipe, conditioned on the true mod "
+        "signal over a preproc-triplet corpus in the shipped sim_chorus "
+        "regime.  Settles capacity-floor vs conditioning-path for the "
+        "chorus no-win; archived in eval_em_sim.txt 'gt control' block."
+    ),
+)
 for _rn in ("r5", "r6"):
     for _effect in ("flanger", "phaser", "chorus", "flanger2"):
         REGISTRY[f"lstm_64__lfo_2dcnn_{_rn}__sim_{_effect}"] = dict(
