@@ -418,6 +418,8 @@ def fit(config_path: str, out_dir: str = "out", resume: bool = False,
         resume=resume,
         media_callback=_media_callback_for(run),
         media_every_n_epochs=int(custom.get("media_every_n_epochs", 10)),
+        steps_per_dispatch=int(custom.get("steps_per_dispatch", 1)),
+        log_every_n_steps=int(custom.get("log_every_n_steps", 50)),
         lr=display_lr,
         profile_dir=custom.get("profile_dir"),
         warm_start_params=warm_start,

@@ -133,10 +133,11 @@ class LFOExtractionTask:
     # `corpus` is an ORDINARY (traced) argument, not trace-time-captured
     # state: evaluating several corpora through one compiled step (e.g.
     # validate_many sweeps) must read the corpus passed at call time
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(
+    def train_step_impl(
         self, state: TrainState, batch, key, corpus=None
     ) -> Tuple[TrainState, Dict]:
+        """Undecorated step body, shared by `train_step` (one jitted step)
+        and `train_steps` (a jitted scan of steps per dispatch)."""
         if self.sub_batch_size is not None:
             return self._train_step_subbatched(state, batch, key, corpus)
 
@@ -154,6 +155,33 @@ class LFOExtractionTask:
             params=params, opt_state=opt_state, step=state.step + 1
         )
         return new_state, metrics
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_step(
+        self, state: TrainState, batch, key, corpus=None
+    ) -> Tuple[TrainState, Dict]:
+        return self.train_step_impl(state, batch, key, corpus)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_steps(
+        self, state: TrainState, batches, keys, corpus=None
+    ) -> Tuple[TrainState, Dict]:
+        """Run several optimizer steps in ONE dispatched program.
+
+        `batches` is the per-step batch pytree stacked on a leading axis,
+        `keys` the matching (n, 2) step keys.  Under a remote-tunnel TPU
+        each dispatch costs a host round trip that a per-step loop pays
+        per step (~18% of step time measured at batch 128); scanning the
+        update on device amortizes it.  Returns the final state and the
+        per-step metrics stacked on a leading axis (so the caller can
+        still log every step).
+        """
+
+        def body(st, inp):
+            b, k = inp
+            return self.train_step_impl(st, b, k, corpus)
+
+        return jax.lax.scan(body, state, (batches, keys))
 
     def _train_step_subbatched(self, state, batch, key, corpus=None):
         """`sub_batch_size` microbatching with gradient averaging."""

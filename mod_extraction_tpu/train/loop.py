@@ -120,6 +120,7 @@ class Trainer:
         media_callback: Optional[Callable] = None,
         media_every_n_epochs: int = 10,
         log_every_n_steps: int = 50,
+        steps_per_dispatch: int = 1,
         resume: bool = False,
         lr=None,  # float, or schedule fn of global_step (display only)
         profile_dir: Optional[str] = None,
@@ -142,6 +143,13 @@ class Trainer:
         # rather than the reference's every-val-epoch wandb push
         self.media_every_n_epochs = max(1, int(media_every_n_epochs))
         self.log_every_n_steps = log_every_n_steps
+        # compiled multi-step dispatch: group N train steps into ONE
+        # device program (task.train_steps, a lax.scan of updates).  Under
+        # the remote-tunnel TPU each dispatch costs a host round trip
+        # (~18% of step time at batch 128); grouping amortizes it.  Needs
+        # the task to expose train_steps; logging stays per-step (the
+        # scan returns stacked per-step metrics).
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.resume = resume
         # ConsoleLRMonitor analog (`callbacks.py:22-34`): log the LR with
         # every step line (fixed-LR optimizers in all reference configs)
@@ -252,27 +260,25 @@ class Trainer:
         audio_sec_per_batch = self.dm.batch_size * n_samples / sr
 
         global_step = int(np.asarray(state.step))
+        spd = (
+            self.steps_per_dispatch
+            if hasattr(self.task, "train_steps")
+            else 1
+        )
         for epoch in range(start_epoch, self.max_epochs):
             train_acc = []
             t_epoch = time.time()
             t_step = time.time()
-            for batch in self._device_batches(train_loader, epoch):
-                if self.profile_dir and global_step == 10 and not self._profiling:
-                    jax.profiler.start_trace(ensure_dir(self.profile_dir))
-                    self._profiling = True
-                step_key = jax.random.fold_in(key, global_step)
-                state, metrics = self.task.train_step(
-                    state, batch, step_key, self.corpus
-                )
-                # keep metrics as device scalars — pulling them here would
-                # block on this step and serialize the pipeline; they are
-                # materialized at log points and at the epoch mean
+
+            def after_step(metrics):
+                """Per-step bookkeeping: accumulate metrics (as device
+                scalars — pulling them here would block on the step and
+                serialize the pipeline; they are materialized at log
+                points and at the epoch mean), advance the step counter,
+                and emit the windowed log line."""
+                nonlocal global_step, t_step
                 train_acc.append(metrics)
                 global_step += 1
-                if self._profiling and global_step >= 15:
-                    jax.profiler.stop_trace()
-                    self._profiling = False
-                    self.profile_dir = None
                 if global_step % self.log_every_n_steps == 0:
                     last = {k: float(v) for k, v in train_acc[-1].items()}
                     if self.check_finite:
@@ -306,6 +312,64 @@ class Trainer:
                         )
                     self.metrics.log(payload)
                     t_step = time.time()
+
+            def maybe_profile(n_ahead: int) -> None:
+                # jax.profiler hook (SURVEY §5.1): trace the dispatch(es)
+                # covering steady-state steps 10..15
+                if (
+                    self.profile_dir
+                    and not self._profiling
+                    and global_step <= 10 < global_step + n_ahead
+                ):
+                    jax.profiler.start_trace(ensure_dir(self.profile_dir))
+                    self._profiling = True
+                elif self._profiling and global_step >= 15:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self.profile_dir = None
+
+            if spd <= 1:
+                for batch in self._device_batches(train_loader, epoch):
+                    maybe_profile(1)
+                    step_key = jax.random.fold_in(key, global_step)
+                    state, metrics = self.task.train_step(
+                        state, batch, step_key, self.corpus
+                    )
+                    after_step(metrics)
+            else:
+                group: list = []
+
+                def flush_group():
+                    nonlocal state
+                    if not group:
+                        return
+                    n = len(group)
+                    maybe_profile(n)
+                    batches = jax.tree.map(
+                        lambda *xs: jnp.stack(xs), *group
+                    )
+                    keys = jnp.stack(
+                        [
+                            jax.random.fold_in(key, global_step + i)
+                            for i in range(n)
+                        ]
+                    )
+                    state, ms = self.task.train_steps(
+                        state, batches, keys, self.corpus
+                    )
+                    for i in range(n):
+                        after_step({k: v[i] for k, v in ms.items()})
+                    group.clear()
+
+                for batch in self._device_batches(train_loader, epoch):
+                    group.append(batch)
+                    if len(group) == spd:
+                        flush_group()
+                flush_group()
+            if self._profiling:  # epoch shorter than the trace window
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.profile_dir = None
 
             val_metrics = self.validate(state, val_loader, epoch)
             epoch_time = time.time() - t_epoch

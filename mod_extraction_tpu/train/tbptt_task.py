@@ -278,10 +278,11 @@ class TBPTTEffectModelingTask:
 
     # --------------------------------------------------------------- steps
     # `corpus` is a traced argument (see lfo_task.train_step note)
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(
+    def train_step_impl(
         self, state: TBPTTState, batch, key, corpus=None
     ) -> Tuple[TBPTTState, Dict]:
+        """Undecorated step body, shared by `train_step` (one jitted step)
+        and `train_steps` (a jitted scan of steps per dispatch)."""
         em = self.effect_model
         lfo_p0 = state.params.get("lfo") if self.trainable_lfo else None
         if lfo_p0 is not None:
@@ -355,6 +356,26 @@ class TBPTTEffectModelingTask:
             params=params, opt_state=opt_state, step=state.step + 1
         )
         return new_state, metrics
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_step(
+        self, state: TBPTTState, batch, key, corpus=None
+    ) -> Tuple[TBPTTState, Dict]:
+        return self.train_step_impl(state, batch, key, corpus)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_steps(
+        self, state: TBPTTState, batches, keys, corpus=None
+    ) -> Tuple[TBPTTState, Dict]:
+        """Several TBPTT outer steps in one dispatched program (see
+        lfo_task.train_steps): `batches` stacked on a leading axis, `keys`
+        the matching step keys; returns final state + stacked metrics."""
+
+        def body(st, inp):
+            b, k = inp
+            return self.train_step_impl(st, b, k, corpus)
+
+        return jax.lax.scan(body, state, (batches, keys))
 
     @partial(jax.jit, static_argnums=(0,))
     def val_step(self, params, batch, key, corpus=None) -> Dict:
