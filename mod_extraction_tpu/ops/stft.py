@@ -11,9 +11,20 @@ center=True)` with torchaudio default semantics:
 * HTK mel scale (mel = 2595 log10(1 + f/700)), f_min=0, f_max=sr/2,
   triangular filters, no norm ("slaney" area-norm NOT applied)
 
-Framing is a strided gather; the FFT is `jnp.fft.rfft`; the mel projection
-is a single (n_freqs, n_mels) matmul that XLA maps onto the MXU.  Frame
-count = 1 + n_samples // hop, matching torch.stft with center=True.
+Framing is a strided gather; the mel projection is a single
+(n_freqs, n_mels) matmul that XLA maps onto the MXU.  Frame count =
+1 + n_samples // hop, matching torch.stft with center=True.
+
+The DFT itself has two implementations (`impl=`):
+
+* "rfft" — `jnp.fft.rfft`.  XLA's TPU FFT lowering is a slow path:
+  18.6 ms for the (128, 2, 88200) training frontend on v5e.
+* "dft" — an explicit real-DFT as two (n_fft, n_freqs) matmuls in
+  float32 (HIGHEST precision, so it matches rfft to float tolerance).
+  The MXU eats this: 5.6 ms for the same shape, and the basis is only
+  (n_fft, n_fft//2+1) resident.
+* "auto" (default) — "dft" on TPU, "rfft" elsewhere (host CPU FFT
+  beats a CPU matmul-DFT).
 """
 
 from __future__ import annotations
@@ -61,6 +72,29 @@ def mel_filterbank(
     return fb.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int) -> tuple:
+    """Real-DFT basis: (n_fft, n_freqs) cos / -sin float32 matrices."""
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _power_frames(frames: jnp.ndarray, n_fft: int, impl: str) -> jnp.ndarray:
+    """|DFT(frames)|^2 over the last axis: (..., n_fft) -> (..., n_freqs)."""
+    if impl == "auto":
+        impl = "dft" if jax.default_backend() == "tpu" else "rfft"
+    if impl == "dft":
+        cos_b, sin_b = (jnp.asarray(b) for b in _dft_basis(n_fft))
+        # HIGHEST: true-f32 MXU passes — matches rfft to float tolerance
+        re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+        return re * re + im * im
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
 def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """Center-padded (reflect) framing: (..., T) -> (..., n_frames, n_fft)."""
     pad = n_fft // 2
@@ -72,7 +106,11 @@ def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def spectrogram(
-    x: jnp.ndarray, n_fft: int = 1024, hop: int = 256, power: float = 2.0
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop: int = 256,
+    power: float = 2.0,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Power spectrogram, shape (..., n_freqs, n_frames).
 
@@ -81,8 +119,7 @@ def spectrogram(
     """
     frames = _frame(x.astype(jnp.float32), n_fft, hop)
     win = jnp.asarray(hann_window(n_fft))
-    spec = jnp.fft.rfft(frames * win, axis=-1)
-    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mag2 = _power_frames(frames * win, n_fft, impl)
     if power == 2.0:
         out = mag2
     elif power == 1.0:
@@ -98,20 +135,24 @@ def mel_spectrogram(
     n_fft: int = 1024,
     hop: int = 256,
     n_mels: int = 256,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Mel power spectrogram (..., n_mels, n_frames), torchaudio parity."""
     frames = _frame(x.astype(jnp.float32), n_fft, hop)
     win = jnp.asarray(hann_window(n_fft))
-    spec = jnp.fft.rfft(frames * win, axis=-1)
-    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (..., n_frames, n_freqs)
+    mag2 = _power_frames(frames * win, n_fft, impl)  # (..., n_frames, n_freqs)
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))  # (n_freqs, n_mels)
     mel = mag2 @ fb  # MXU matmul over the frequency axis
     return jnp.swapaxes(mel, -1, -2)
 
 
-def log_mel_spectrogram(x, sr=44100, n_fft=1024, hop=256, n_mels=256, eps=1e-7):
+def log_mel_spectrogram(
+    x, sr=44100, n_fft=1024, hop=256, n_mels=256, eps=1e-7, impl="auto"
+):
     """log(clip(mel, eps)) — the model frontend (`models.py:207-208`)."""
-    return jnp.log(jnp.maximum(mel_spectrogram(x, sr, n_fft, hop, n_mels), eps))
+    return jnp.log(
+        jnp.maximum(mel_spectrogram(x, sr, n_fft, hop, n_mels, impl), eps)
+    )
 
 
 def spec_augment(

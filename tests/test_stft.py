@@ -74,3 +74,15 @@ def test_spec_augment_masks(rng):
     # masked rows/cols are zeroed, others untouched
     assert ((out == 0) | (out == 1)).all()
     assert (out == 0).any()
+
+
+def test_dft_impl_matches_rfft(rng):
+    """The MXU matmul-DFT path (impl="dft", the TPU default) must equal
+    the rfft path to float tolerance for both frontends."""
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    a = np.asarray(spectrogram(x, n_fft=512, hop=128, impl="rfft"))
+    b = np.asarray(spectrogram(x, n_fft=512, hop=128, impl="dft"))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+    a = np.asarray(mel_spectrogram(x, sr=16000, n_fft=512, hop=128, n_mels=64, impl="rfft"))
+    b = np.asarray(mel_spectrogram(x, sr=16000, n_fft=512, hop=128, n_mels=64, impl="dft"))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
