@@ -99,7 +99,7 @@ def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
     return audio_sec / dt
 
 
-def bench_reference_torch_cpu(n_reps: int = 2) -> float:
+def bench_reference_torch_cpu(n_reps: int = 3) -> float:
     """Reference-style per-sample flanger loop (torch, host CPU).
 
     Measures full 2-second example renders (the reference's actual chunk
@@ -151,9 +151,11 @@ def bench_reference_torch_cpu(n_reps: int = 2) -> float:
 
     b, t = 1000, 88200  # the reference's batch-1000 render of 2 s chunks
     render(b, 11025)  # warmup (allocator, thread pools)
-    dt = sum(render(b, t) for _ in range(n_reps))
-    audio_sec = n_reps * b * t / sr
-    return audio_sec / dt
+    # median-of-n per-rep rate: this host is a 1-vCPU VM whose torch
+    # throughput jitters ~25% rep to rep; the median is the robust
+    # honest estimate (mean is dragged by descheduling stalls)
+    rates = sorted(b * t / sr / render(b, t) for _ in range(n_reps))
+    return rates[len(rates) // 2]
 
 
 def main():
