@@ -79,6 +79,19 @@ def sample_log_uniform(rng: np.random.Generator, lo: float, hi: float) -> float:
     return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
 
 
+def sample_exp(rng: np.random.Generator, e) -> float:
+    """LFO exponent draw: a scalar (reference semantics, fixed exp —
+    `datasets.py:361`), or {min, max[, p_identity]} — exponent-distortion
+    augmentation for robustness to the exp-2.0 eval conditions
+    (p_identity keeps that much probability mass at the undistorted
+    exp=1.0 shape)."""
+    if isinstance(e, dict):
+        if rng.uniform() < float(e.get("p_identity", 0.0)):
+            return 1.0
+        return float(rng.uniform(e["min"], e["max"]))
+    return float(e)
+
+
 def get_file_paths(input_dir: str, ext: str) -> List[str]:
     """Recursive sorted scan (reference `datasets.py:230-241`)."""
     assert os.path.isdir(input_dir), input_dir
@@ -376,7 +389,7 @@ class RandomAudioChunkAndModSigDataset(RandomAudioChunkDataset):
         phase = float(rng.uniform(ms["phase"]["min"], ms["phase"]["max"]))
         shapes = ms["shapes"]
         shape = shapes[int(rng.integers(len(shapes)))]
-        exp = float(ms["exp"])
+        exp = sample_exp(rng, ms["exp"])
         n_frames = self.n_samples // MOD_SIG_DIVISOR
         frame_sr = self.sr // MOD_SIG_DIVISOR
         if ms.get("combined", False):

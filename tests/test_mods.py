@@ -113,3 +113,23 @@ def test_np_linear_interp_matches_align_corners():
     assert out[0] == x[0] and out[-1] == x[-1]
     expected = np.interp(np.arange(7) * 3 / 6, np.arange(4), x)
     np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_sample_exp_scalar_and_ranged():
+    """sample_exp: scalar passes through; {min,max,p_identity} mixes
+    p_identity mass at exactly 1.0 with uniform draws over [min, max]."""
+    import numpy as np
+
+    from mod_extraction_tpu.data.datasets import sample_exp
+
+    rng = np.random.default_rng(0)
+    assert sample_exp(rng, 2.0) == 2.0
+    draws = np.array([
+        sample_exp(rng, {"min": 0.4, "max": 2.5, "p_identity": 0.5})
+        for _ in range(2000)
+    ])
+    assert ((draws >= 0.4) & (draws <= 2.5)).all()
+    identity_frac = np.mean(draws == 1.0)
+    assert 0.42 < identity_frac < 0.58
+    non_id = draws[draws != 1.0]
+    assert non_id.min() < 0.6 and non_id.max() > 2.3
