@@ -47,20 +47,9 @@ def same_pads(kernel: int, dilation: int) -> tuple[int, int]:
     return (lo, eff - lo)
 
 
-def max_pool_floor(x: jnp.ndarray, window: tuple[int, int]) -> jnp.ndarray:
-    """torch `nn.MaxPool2d(window)` (stride=window, floor mode), on
-    (B, H, W, C) channel-last input.
-
-    Implemented with `lax.reduce_window` (VALID padding after cropping to
-    window multiples): its gradient is a select-and-scatter, unlike a
-    reshape+max whose backward materializes an eq-broadcast the size of
-    batch x activations x window (HBM OOM at large batch)."""
+def _reduce_window_max(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     import jax
 
-    h, w = window
-    b, hh, ww, c = x.shape
-    hh2, ww2 = (hh // h) * h, (ww // w) * w
-    x = x[:, :hh2, :ww2, :]
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
@@ -69,3 +58,58 @@ def max_pool_floor(x: jnp.ndarray, window: tuple[int, int]) -> jnp.ndarray:
         window_strides=(1, h, w, 1),
         padding="VALID",
     )
+
+
+def _make_pool_vjp():
+    import functools
+
+    import jax
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+    def pool(x, h, w):
+        return _reduce_window_max(x, h, w)
+
+    def fwd(x, h, w):
+        y = pool(x, h, w)
+        return y, (x, y)
+
+    def bwd(h, w, res, g):
+        # eq-mask backward: route the cotangent to EVERY window element
+        # equal to the max.  An elementwise broadcast-compare the size of
+        # the (already live) input — XLA fuses it, unlike the default
+        # reduce_window transpose (SelectAndScatter, a TPU slow path).
+        # Deviates from torch (first-max-wins) only on exact ties inside
+        # a window, where every tied element receives the cotangent.
+        x, y = res
+        up = jnp.repeat(jnp.repeat(y, h, axis=1), w, axis=2)
+        gu = jnp.repeat(jnp.repeat(g, h, axis=1), w, axis=2)
+        return (jnp.where(x == up, gu, jnp.zeros_like(gu)).astype(x.dtype),)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+_POOL_EQMASK = _make_pool_vjp()
+
+
+def max_pool_floor(
+    x: jnp.ndarray, window: tuple[int, int], bwd_impl: str = "eq_mask"
+) -> jnp.ndarray:
+    """torch `nn.MaxPool2d(window)` (stride=window, floor mode), on
+    (B, H, W, C) channel-last input.
+
+    Forward is `lax.reduce_window` either way.  `bwd_impl`:
+
+    * "eq_mask" (default) — custom VJP whose backward is a fused
+      elementwise broadcast-compare against the (already live) input.
+    * "select_scatter" — the default XLA transpose (SelectAndScatter),
+      exact first-max-wins semantics but a known TPU slow path over
+      the trunk's up-to-1.4 GB activations.
+    """
+    h, w = window
+    b, hh, ww, c = x.shape
+    hh2, ww2 = (hh // h) * h, (ww // w) * w
+    x = x[:, :hh2, :ww2, :]
+    if bwd_impl == "eq_mask":
+        return _POOL_EQMASK(x, h, w)
+    return _reduce_window_max(x, h, w)

@@ -157,3 +157,29 @@ def test_tcn_receptive_field():
               kernel_size=13, padding=None, is_causal=False)
     # rf = 13 + 12*(2+4+8+16) = 373
     assert tcn.calc_receptive_field() == 13 + 12 * (2 + 4 + 8 + 16)
+
+
+def test_max_pool_bwd_impls_match():
+    """The eq-mask custom-VJP pool backward (TPU fast path) must equal
+    the SelectAndScatter transpose on tie-free inputs, and duplicate the
+    cotangent across exact ties (the documented deviation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mod_extraction_tpu.models.common import max_pool_floor
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 3)), jnp.float32)
+
+    def loss(x, impl):
+        y = max_pool_floor(x, (2, 1), bwd_impl=impl)
+        return jnp.sum(y * y * 0.5)
+
+    g_eq = jax.grad(lambda a: loss(a, "eq_mask"))(x)
+    g_ss = jax.grad(lambda a: loss(a, "select_scatter"))(x)
+    np.testing.assert_allclose(np.asarray(g_eq), np.asarray(g_ss), atol=1e-6)
+
+    # tie: both window elements equal -> eq-mask routes to both
+    xt = jnp.ones((1, 2, 1, 1), jnp.float32)
+    gt = jax.grad(lambda a: jnp.sum(max_pool_floor(a, (2, 1))))(xt)
+    np.testing.assert_allclose(np.asarray(gt).ravel(), [1.0, 1.0])
