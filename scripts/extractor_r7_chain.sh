@@ -48,6 +48,7 @@ echo "r7 gate: fl-distorted-all val/l1=${DIST_L1} (need <= 0.0670), " \
 if python -c "import sys; sys.exit(0 if (${DIST_L1} <= 0.0670 and ${BASE_L1} <= 0.011289) else 1)"; then
   echo "r7 PASSES the gate — repointing the eval grid + regenerating"
   sed -i "s/${R6}\.npz/${R7}.npz/" $EVAL_CFGS
+  python scripts/write_model_cards.py
   python scripts/run_eval_grid.py --per-shape eval \
     eval_lfo.yml eval_lfo_varying.yml eval_lfo_flanger.yml \
     eval_lfo_flanger_varying.yml eval_lfo_chorus.yml \

@@ -239,6 +239,21 @@ REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6"] = dict(
         "(scripts/extractor_r5_r6_chain.sh guard)."
     ),
 )
+REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r7"] = dict(
+    kind="trained",
+    train_config="configs/train_lfo_interwoven_all_live_r7.yml",
+    metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r7",
+    epochs_total=1220,
+    corpus="data/idmt_4 (scripts/make_synthetic_corpus.py)",
+    notes=(
+        "Flagship LFO extractor: exponent-augmentation anneal of the r6 "
+        "best (exp ~ U(0.4, 2.5) with 50% mass at 1.0; 150 epochs, "
+        "5e-5 -> 1e-6; 1220 epochs total).  Shipped only if it passes "
+        "the EVAL-GRID gate (fl-distorted-all <= 0.0670 with the "
+        "in-domain headline within 5%) — scripts/extractor_r7_chain.sh; "
+        "its val/loss is not comparable to r6 (augmented val split)."
+    ),
+)
 REGISTRY["lstm_64__gt_mod_sig__sim_chorus_gt"] = dict(
     kind="trained",
     train_config="configs/train_em_sim_chorus_gtctrl.yml",
