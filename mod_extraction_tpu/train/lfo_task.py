@@ -169,12 +169,12 @@ class LFOExtractionTask:
         """Run several optimizer steps in ONE dispatched program.
 
         `batches` is the per-step batch pytree stacked on a leading axis,
-        `keys` the matching (n, 2) step keys.  Under a remote-tunnel TPU
-        each dispatch costs a host round trip that a per-step loop pays
-        per step (~18% of step time measured at batch 128); scanning the
-        update on device amortizes it.  Returns the final state and the
-        per-step metrics stacked on a leading axis (so the caller can
-        still log every step).
+        `keys` the matching (n, 2) step keys.  Scanning the update on
+        device amortizes per-step dispatch cost (neutral at batch 128 on
+        an idle tunnel where async dispatch hides the round trip; it
+        matters in dispatch-bound regimes — small batches, busy hosts).
+        Returns the final state and the per-step metrics stacked on a
+        leading axis (so the caller can still log every step).
         """
 
         def body(st, inp):

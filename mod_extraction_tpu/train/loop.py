@@ -144,11 +144,11 @@ class Trainer:
         self.media_every_n_epochs = max(1, int(media_every_n_epochs))
         self.log_every_n_steps = log_every_n_steps
         # compiled multi-step dispatch: group N train steps into ONE
-        # device program (task.train_steps, a lax.scan of updates).  Under
-        # the remote-tunnel TPU each dispatch costs a host round trip
-        # (~18% of step time at batch 128); grouping amortizes it.  Needs
-        # the task to expose train_steps; logging stays per-step (the
-        # scan returns stacked per-step metrics).
+        # device program (task.train_steps, a lax.scan of updates),
+        # amortizing per-step dispatch cost (neutral on an idle tunnel
+        # where async dispatch hides the round trip; matters for small
+        # batches / busy hosts).  Needs the task to expose train_steps;
+        # logging stays per-step (the scan returns stacked metrics).
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.resume = resume
         # ConsoleLRMonitor analog (`callbacks.py:22-34`): log the LR with
