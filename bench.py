@@ -62,11 +62,11 @@ def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
 
     key = jax.random.PRNGKey(0)
     state = task.init_state(key)
-    # n_steps DISTINCT synthetic batches, stacked for the compiled
-    # multi-step dispatch (task.train_steps — the trainer's
-    # steps_per_dispatch path, a lax.scan of optimizer updates in one
-    # device program; the per-step host round trip of a Python step loop
-    # costs ~18% at this batch size under the remote tunnel)
+    # n_steps DISTINCT synthetic batches (distinct keys too — reusing
+    # one batch+key across steps lets XLA CSE the render away and
+    # overstates throughput), stacked for the compiled multi-step
+    # dispatch (task.train_steps — the trainer's steps_per_dispatch
+    # path, a lax.scan of optimizer updates in one device program)
     batches = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[
