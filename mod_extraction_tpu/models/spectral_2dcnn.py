@@ -38,6 +38,10 @@ from mod_extraction_tpu.ops.conv import (
     conv2d_same,
     foldable,
 )
+from mod_extraction_tpu.ops.pallas_conv import (
+    make_conv2d_same_pallas_wgrad,
+    wgrad_supported,
+)
 from mod_extraction_tpu.ops.stft import mel_spectrogram, spec_augment
 
 
@@ -58,6 +62,9 @@ class _TrunkConv(nn.Module):
     temp_dil: int
     dtype: jnp.dtype
     impl: str = "lax"
+    # Backward weight-gradient path: "xla" (autodiff) or "pallas" (the
+    # tap-concat MXU kernel, ops/pallas_conv.py) where supported.
+    wgrad_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,6 +82,11 @@ class _TrunkConv(nn.Module):
         ):
             y = conv2d_freq_folded(x, k, self.bin_dil, self.temp_dil,
                                    preferred=None)
+        elif self.wgrad_impl == "pallas" and wgrad_supported(
+            kernel.shape, self.bin_dil, x.shape[-1]
+        ):
+            conv = make_conv2d_same_pallas_wgrad(self.temp_dil)
+            y = conv(x, k)
         else:
             y = conv2d_same(x, k, self.bin_dil, self.temp_dil, preferred=None)
         return y + bias.astype(y.dtype)
@@ -104,6 +116,9 @@ class Spectral2DCNN(nn.Module):
     # Conv compute path: "lax" (plain conv) or "freq_folded" (the same
     # conv as full-lane C=128 matmuls via freq-row folding, ops/conv.py).
     conv_impl: str = "lax"
+    # Weight-gradient path: "xla" or "pallas" (ops/pallas_conv.py
+    # tap-concat kernel; applies to the 64-channel trunk layers only).
+    wgrad_impl: str = "xla"
 
     def _channels(self):
         return list(self.out_channels) if self.out_channels else [64] * 5
@@ -166,6 +181,7 @@ class Spectral2DCNN(nn.Module):
                 temp_dil=t_dil,
                 dtype=cdtype,
                 impl=self.conv_impl,
+                wgrad_impl=self.wgrad_impl,
                 name=f"Conv_{i}",  # nn.Conv's auto-name: ckpt-compatible
             )(h)
             h = max_pool_floor(h, self.pool_size)

@@ -187,6 +187,38 @@ def bench_layer(idx, cin, cout, f, t_dil, dtype):
         report(f"L{idx} {name} fwd+bwd {dtype}", sec, 3 * fl)
 
 
+def bench_bwd_split(dtype="bfloat16"):
+    """Per-layer dgrad-only vs wgrad-only cost of the lax.conv path —
+    decides where a custom backward kernel pays (wgrad is the usual TPU
+    sink: its matmul has the 64-channel contraction in the wrong
+    position for the 128-lane MXU)."""
+    rng = np.random.default_rng(7)
+    for idx, (cin, cout, f, t_dil) in enumerate(LAYERS):
+        x = jnp.asarray(rng.standard_normal((B, f, T, cin)), dtype)
+        w = jnp.asarray(rng.standard_normal((K[0], K[1], cin, cout)) * 0.05, dtype)
+        fl = flops_conv(cin, cout, f)
+
+        def loss(w, x):
+            return jnp.sum(conv_lax(x, w, t_dil).astype(jnp.float32) ** 2) * 1e-9
+
+        def f_dgrad(i):
+            gx = jax.grad(loss, argnums=1)(w, x + i * 1e-6)
+            return jnp.sum(gx.astype(jnp.float32)) * 1e-3
+
+        def f_wgrad(i):
+            gw = jax.grad(loss, argnums=0)(w, x + i * 1e-6)
+            return jnp.sum(gw.astype(jnp.float32))
+
+        # each grad includes the fwd pass (needed for the loss), so
+        # subtract the fwd time to isolate the grad op
+        f_fwd = lambda i: jnp.sum(conv_lax(x + i * 1e-6, w, t_dil)) * 1e-9
+        t_fwd = time_scalar_fn(f_fwd)
+        t_d = time_scalar_fn(f_dgrad) - t_fwd
+        t_w = time_scalar_fn(f_wgrad) - t_fwd
+        report(f"L{idx} dgrad-only {dtype}", t_d, fl)
+        report(f"L{idx} wgrad-only {dtype}", t_w, fl)
+
+
 def bench_model(conv_impl="lax"):
     import optax
 
@@ -272,6 +304,8 @@ def main():
             bench_c128_control(dtype)
             for idx, (cin, cout, f, t_dil) in enumerate(LAYERS):
                 bench_layer(idx, cin, cout, f, t_dil, dtype)
+    if only == "split":
+        bench_bwd_split()
     if only in (None, "model"):
         impl = (sys.argv[sys.argv.index("--conv-impl") + 1]
                 if "--conv-impl" in sys.argv else "lax")

@@ -147,16 +147,22 @@ def test_em_sim_lstm_ckpts_follow_base_config():
 
 
 def test_gt_control_block(monkeypatch):
-    """Skipped with a pointer until the control ships; once present, one
-    GT table + one rand table labeled 'sim_chorus gt control', each via
-    its own validate_many call (different tasks)."""
+    """SKIPPED-with-a-pointer when the control artifacts are absent;
+    once present, one GT table + one rand table labeled 'sim_chorus gt
+    control', each via its own validate_many call (different tasks).
+    Both states are simulated via os.path.exists (the control HAS
+    shipped in this repo, so the absent state must be faked too)."""
+    import os as _os
+
+    real_exists = _os.path.exists
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: False if "sim_chorus_gt" in str(p) else real_exists(p),
+    )
     blocks = _MOD.build_gt_control_blocks(None, None)
     assert len(blocks) == 1 and blocks[0].startswith("SKIPPED")
     assert "train_em_sim_chorus_gtctrl" in blocks[0]
 
-    import os as _os
-
-    real_exists = _os.path.exists
     monkeypatch.setattr(
         _os.path, "exists",
         lambda p: True if "sim_chorus_gt" in str(p) else real_exists(p),
