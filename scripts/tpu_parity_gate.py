@@ -15,7 +15,10 @@ Checks (kernel vs scan, compiled on the real TPU backend):
   3. LSTM-64 fwd — production hidden size, [latent; x] packing;
   4. LSTM-64 train fwd+bwd — the custom-VJP kernel pair vs jax.grad of
      the flax scan model at the TBPTT chunk length (1024), all param /
-     input / state cotangents.
+     input / state cotangents;
+  5. conv wgrad — the tap-concat Pallas weight gradient
+     (ops/pallas_conv.py) vs XLA autodiff at two real trunk shapes
+     (dil=2 single-copy halo, dil=16 three-copy halo).
 
 Usage: python scripts/tpu_parity_gate.py   (TPU must be otherwise idle)
 Exits nonzero on the first tolerance breach; prints one line per check.
@@ -156,6 +159,34 @@ def gate_lstm_train(rng):
     )
 
 
+def gate_conv_wgrad(rng):
+    from mod_extraction_tpu.ops.pallas_conv import (
+        conv2d_wgrad_reference,
+        conv2d_wgrad_tapcat,
+    )
+
+    # (B, F, T, dil): trunk L2 (single dy copy) and L5 (halo 192 > tile,
+    # three copies); T=345 is the real frame count
+    shapes = [(4, 16, 96, 2), (2, 8, 128, 16)] if QUICK else [
+        (32, 64, 345, 2),
+        (32, 8, 345, 16),
+    ]
+    for b, f, t, dil in shapes:
+        x = jnp.asarray((0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32))
+        dy = jnp.asarray((0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32))
+        ref = conv2d_wgrad_reference(x, dy, dil=dil)
+        got = conv2d_wgrad_tapcat(x, dy, dil=dil, interpret=INTERPRET)
+        # the kernel contracts in bf16 (as the bf16 training step does);
+        # tolerance is relative to the gradient magnitude
+        scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-6
+        check(
+            f"conv wgrad tap-concat (dil={dil})",
+            np.asarray(got) / scale,
+            np.asarray(ref) / scale,
+            atol=2e-2,
+        )
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform}:{dev.device_kind}")
@@ -175,6 +206,7 @@ def main():
     gate_phaser(rng)
     gate_lstm_fwd(rng)
     gate_lstm_train(rng)
+    gate_conv_wgrad(rng)
     print(f"gate finished in {time.time() - t0:.0f}s: "
           + ("FAIL " + ", ".join(FAILURES) if FAILURES else "ALL PASS"))
     sys.exit(1 if FAILURES else 0)
