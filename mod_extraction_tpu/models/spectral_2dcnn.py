@@ -39,7 +39,8 @@ from mod_extraction_tpu.ops.conv import (
     foldable,
 )
 from mod_extraction_tpu.ops.pallas_conv import (
-    make_conv2d_same_pallas_wgrad,
+    make_conv2d_custom,
+    pair_supported,
     wgrad_supported,
 )
 from mod_extraction_tpu.ops.stft import mel_spectrogram, spec_augment
@@ -77,15 +78,24 @@ class _TrunkConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
+        pair_ok = self.impl == "pair" and pair_supported(
+            kernel.shape, self.bin_dil, x.shape[1]
+        )
+        wgrad_ok = self.wgrad_impl == "pallas" and wgrad_supported(
+            kernel.shape, self.bin_dil, x.shape[-1]
+        )
         if self.impl == "freq_folded" and foldable(
             kernel.shape, self.bin_dil, x.shape[1]
         ):
             y = conv2d_freq_folded(x, k, self.bin_dil, self.temp_dil,
                                    preferred=None)
-        elif self.wgrad_impl == "pallas" and wgrad_supported(
-            kernel.shape, self.bin_dil, x.shape[-1]
-        ):
-            conv = make_conv2d_same_pallas_wgrad(self.temp_dil)
+        elif pair_ok or wgrad_ok:
+            conv = make_conv2d_custom(
+                self.temp_dil,
+                fwd_impl="pair" if pair_ok else "lax",
+                dgrad_impl="pair" if pair_ok else "lax",
+                wgrad_impl="pallas" if wgrad_ok else "xla",
+            )
             y = conv(x, k)
         else:
             y = conv2d_same(x, k, self.bin_dil, self.temp_dil, preferred=None)
@@ -113,8 +123,10 @@ class Spectral2DCNN(nn.Module):
     # bf16 is the TPU-native choice (~4x MXU throughput on v5e); params,
     # LayerNorm statistics, and the sigmoid head stay fp32.
     compute_dtype: str = "float32"
-    # Conv compute path: "lax" (plain conv) or "freq_folded" (the same
-    # conv as full-lane C=128 matmuls via freq-row folding, ops/conv.py).
+    # Conv compute path: "lax" (plain conv), "freq_folded" (full-lane
+    # C=128 matmuls via freq-row folding, 2.4x MACs), or "pair" (the
+    # row-pair freq-stride-2 conv, 1.2x MACs with full 128 output lanes,
+    # used for BOTH fwd and dgrad via a custom VJP; ops/conv.py).
     conv_impl: str = "lax"
     # Weight-gradient path: "xla" or "pallas" (ops/pallas_conv.py
     # tap-concat kernel; applies to the 64-channel trunk layers only).

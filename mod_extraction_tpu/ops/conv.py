@@ -104,3 +104,46 @@ def conv2d_freq_folded(x, w, bin_dil: int, temp_dil: int,
 def foldable(w_shape, bin_dil: int, f: int) -> bool:
     """True when the freq-folded path computes this conv."""
     return w_shape[0] == 5 and bin_dil == 1 and f % 2 == 0
+
+
+def pair_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(5, kt, C, Co) -> (6, kt, C, 2Co) for the row-pair strided conv.
+
+    Output channel block r (row parity) gets the original taps shifted
+    down by r: w2[a', j, c, r*Co + o] = w[a' - r, j, c, o] where valid."""
+    kf, kt, c, co = w.shape
+    assert kf == 5, f"row pairing is specialized to kernel 5, got {kf}"
+    w2 = jnp.zeros((6, kt, c, 2 * co), w.dtype)
+    w2 = w2.at[0:5, :, :, 0:co].set(w)
+    w2 = w2.at[1:6, :, :, co : 2 * co].set(w)
+    return w2
+
+
+def conv2d_pair_rows(x, w, bin_dil: int, temp_dil: int,
+                     preferred=jnp.float32):
+    """(5, kt) 'same' conv as ONE freq-stride-2 conv with 2*Co channels.
+
+    Unlike `conv2d_freq_folded` (2.4x MACs: both channel dims doubled at
+    F/2 positions), this costs 1.2x the MACs — 6 freq taps x 2Co output
+    channels at F/2 output positions — while filling the MXU's 128
+    output lanes (2*64) instead of 64.  Two adjacent output rows share
+    one matmul: y[2p + r] is output-channel block r of strided-conv
+    position p.  Requires bin_dil == 1 and an even freq dim; exact same
+    math as conv2d_same up to accumulation order."""
+    assert bin_dil == 1, "row pairing requires bin dilation 1"
+    b, f, t, c = x.shape
+    assert f % 2 == 0, f"freq dim {f} must be even to pair"
+    kt = w.shape[1]
+    co = w.shape[3]
+    w2 = pair_weights(w)
+    y2 = jax.lax.conv_general_dilated(
+        x,
+        w2,
+        window_strides=(2, 1),
+        padding=((2, 2), same_pads_1d(kt, temp_dil)),
+        rhs_dilation=(1, temp_dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+    )
+    y2 = y2.reshape(b, f // 2, t, 2, co)
+    return jnp.transpose(y2, (0, 1, 3, 2, 4)).reshape(b, f, t, co)

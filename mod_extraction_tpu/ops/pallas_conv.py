@@ -193,29 +193,77 @@ def conv2d_wgrad_reference(x, dy, kf=5, kt=13, dil=1):
     return jax.grad(loss)(w0)
 
 
-def make_conv2d_same_pallas_wgrad(dil: int, interpret: bool = False):
-    """conv2d_same(x, w, 1, dil) with a custom VJP: XLA fwd + XLA dgrad,
-    Pallas tap-concat wgrad.  Returns a (x, w) -> y callable."""
-    from mod_extraction_tpu.ops.conv import conv2d_same
+def make_conv2d_custom(
+    dil: int,
+    fwd_impl: str = "lax",
+    dgrad_impl: str = "lax",
+    wgrad_impl: str = "pallas",
+    interpret: bool = False,
+):
+    """conv2d_same(x, w, 1, dil) with an explicitly chosen backward.
+
+    fwd_impl / dgrad_impl: "lax" (plain conv) or "pair" (the row-pair
+    freq-stride-2 conv, ops/conv.py::conv2d_pair_rows — 1.2x MACs,
+    full 128 output lanes).  dgrad is itself a same-conv of the output
+    cotangent with the freq/time-flipped channel-transposed kernel, so
+    the same pairing applies.  wgrad_impl: "xla" (autodiff framing) or
+    "pallas" (the tap-concat kernel above).  Returns a (x, w) -> y
+    callable."""
+    from mod_extraction_tpu.ops.conv import conv2d_pair_rows, conv2d_same
+
+    def one_conv(impl, x, w):
+        if impl == "pair":
+            return conv2d_pair_rows(x, w, 1, dil, preferred=None)
+        return conv2d_same(x, w, 1, dil, preferred=None)
 
     @jax.custom_vjp
     def conv(x, w):
-        return conv2d_same(x, w, 1, dil, preferred=None)
+        return one_conv(fwd_impl, x, w)
 
     def fwd(x, w):
         return conv(x, w), (x, w)
 
     def bwd(res, g):
         x, w = res
-        _, dgrad = jax.vjp(lambda xx: conv2d_same(xx, w, 1, dil, preferred=None), x)
-        (dx,) = dgrad(g)
-        dw = conv2d_wgrad_tapcat(
-            x, g, kf=w.shape[0], kt=w.shape[1], dil=dil, interpret=interpret
-        )
+        if dgrad_impl in ("lax", "pair"):
+            # dx = same-conv of g with the flipped, channel-transposed
+            # kernel (odd kernel dims keep 'same' padding symmetric)
+            w_t = jnp.transpose(jnp.flip(w, (0, 1)), (0, 1, 3, 2))
+            dx = one_conv(dgrad_impl, g, w_t).astype(x.dtype)
+        else:  # autodiff framing of the fwd conv
+            _, vjp = jax.vjp(lambda xx: one_conv(fwd_impl, xx, w), x)
+            (dx,) = vjp(g)
+        if wgrad_impl == "pallas":
+            dw = conv2d_wgrad_tapcat(
+                x, g, kf=w.shape[0], kt=w.shape[1], dil=dil,
+                interpret=interpret,
+            )
+        else:
+            # XLA's own wgrad framing of the plain conv (the pair conv's
+            # autodiff wgrad would target the padded (6, kt, C, 2Co)
+            # kernel for no benefit)
+            _, vjp = jax.vjp(
+                lambda ww: conv2d_same(x, ww, 1, dil, preferred=None), w
+            )
+            (dw,) = vjp(g)
         return dx, dw.astype(w.dtype)
 
     conv.defvjp(fwd, bwd)
     return conv
+
+
+def make_conv2d_same_pallas_wgrad(dil: int, interpret: bool = False):
+    """conv2d_same(x, w, 1, dil) with a custom VJP: XLA fwd + XLA dgrad,
+    Pallas tap-concat wgrad.  Returns a (x, w) -> y callable."""
+    return make_conv2d_custom(
+        dil, fwd_impl="lax", dgrad_impl="autodiff", wgrad_impl="pallas",
+        interpret=interpret,
+    )
+
+
+def pair_supported(w_shape, bin_dil: int, f: int) -> bool:
+    """True when the row-pair fwd/dgrad formulation covers this conv."""
+    return w_shape[0] == 5 and bin_dil == 1 and f % 2 == 0
 
 
 def wgrad_supported(w_shape, bin_dil: int, ci: int) -> bool:

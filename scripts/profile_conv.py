@@ -28,6 +28,7 @@ import numpy as np
 from functools import partial
 
 from mod_extraction_tpu.ops.conv import conv2d_freq_folded as _folded
+from mod_extraction_tpu.ops.conv import conv2d_pair_rows as _pair
 
 
 def conv_freq_folded(x, w, t_dil):
@@ -166,13 +167,16 @@ def bench_layer(idx, cin, cout, f, t_dil, dtype):
     impls = {"lax.conv": conv_lax, "freq-im2col": conv_freq_im2col}
     if cin == 64:
         impls["freq-folded"] = conv_freq_folded
+    if f % 2 == 0:
+        impls["row-pair"] = lambda x, w, d: _pair(x, w, 1, d, preferred=None)
     for name, impl in impls.items():
-        if name == "lax.conv":
-            f_fwd = lambda i: jnp.sum(impl(x + i * 1e-6, w, t_dil)) * 1e-9
-        else:
-            f_fwd = lambda i: jnp.sum(impl(x + i * 1e-6, w, t_dil)) * 1e-9
+        f_fwd = lambda i, impl=impl: jnp.sum(
+            impl(x + i * 1e-6, w, t_dil).astype(jnp.float32)
+        ) * 1e-9
         sec = time_scalar_fn(f_fwd)
         report(f"L{idx} {name} fwd {dtype}", sec, fl)
+        if name == "row-pair":
+            continue  # its bwd runs through the custom VJP, not autodiff
 
         def f_bwd(i, impl=impl):
             def loss(w, x):
@@ -218,8 +222,19 @@ def bench_bwd_split(dtype="bfloat16"):
         report(f"L{idx} dgrad-only {dtype}", t_d, fl)
         report(f"L{idx} wgrad-only {dtype}", t_w, fl)
 
+        if cin % 8 == 0:  # the tap-concat Pallas wgrad, same contraction
+            from mod_extraction_tpu.ops.pallas_conv import conv2d_wgrad_tapcat
 
-def bench_model(conv_impl="lax"):
+            dy = jnp.asarray(rng.standard_normal((B, f, T, cout)), dtype)
+
+            def f_wp(i):
+                gw = conv2d_wgrad_tapcat(x + i * 1e-6, dy, dil=t_dil)
+                return jnp.sum(gw) * 1e-6
+
+            report(f"L{idx} wgrad-pallas {dtype}", time_scalar_fn(f_wp), fl)
+
+
+def bench_model(conv_impl="lax", wgrad_impl="xla"):
     import optax
 
     from mod_extraction_tpu.models import Spectral2DCNN
@@ -234,6 +249,7 @@ def bench_model(conv_impl="lax"):
         temp_dilations=(1, 1, 2, 4, 8, 16), pool_size=(2, 1),
         freq_mask_amount=0.25, time_mask_amount=0.25,
         compute_dtype="bfloat16", conv_impl=conv_impl,
+        wgrad_impl=wgrad_impl,
     )
     task = LFOExtractionTask(
         model=model,
@@ -272,7 +288,7 @@ def bench_model(conv_impl="lax"):
     float(r8()); t2 = time.perf_counter()
     sec = ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
     audio = B * n / sr
-    print(f"full train step [{conv_impl}]: {sec * 1e3:.1f} ms -> "
+    print(f"full train step [{conv_impl}/{wgrad_impl}]: {sec * 1e3:.1f} ms -> "
           f"{audio / sec:.0f} audio-s/s")
 
 
@@ -290,7 +306,10 @@ def check_impls():
         c = conv_freq_folded(x, w, t_dil)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-4, rtol=1e-4)
-    print("impl parity check: OK (im2col + freq-folded)")
+        d = _pair(x, w, 1, t_dil)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   atol=1e-4, rtol=1e-4)
+    print("impl parity check: OK (im2col + freq-folded + row-pair)")
 
 
 def main():
@@ -309,7 +328,9 @@ def main():
     if only in (None, "model"):
         impl = (sys.argv[sys.argv.index("--conv-impl") + 1]
                 if "--conv-impl" in sys.argv else "lax")
-        bench_model(impl)
+        wgrad = (sys.argv[sys.argv.index("--wgrad-impl") + 1]
+                 if "--wgrad-impl" in sys.argv else "xla")
+        bench_model(impl, wgrad)
 
 
 if __name__ == "__main__":

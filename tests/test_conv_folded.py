@@ -10,6 +10,7 @@ import pytest
 
 from mod_extraction_tpu.ops.conv import (
     conv2d_freq_folded,
+    conv2d_pair_rows,
     conv2d_same,
     fold_freq,
     foldable,
@@ -42,6 +43,55 @@ def test_foldable_guards():
     assert not foldable((5, 13, 64, 64), bin_dil=1, f=85)  # odd freq dim
 
 
+@pytest.mark.parametrize("t_dil", [1, 2, 8])
+def test_pair_rows_equals_lax(rng, t_dil):
+    x = jnp.asarray(rng.standard_normal((3, 16, 50, 8)).astype(np.float32))
+    w = jnp.asarray(
+        (0.1 * rng.standard_normal((5, 13, 8, 12))).astype(np.float32)
+    )
+    a = conv2d_same(x, w, 1, t_dil)
+    b = conv2d_pair_rows(x, w, 1, t_dil)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "fwd,dgrad,wgrad",
+    [("pair", "pair", "xla"), ("pair", "lax", "xla"), ("lax", "pair", "xla")],
+)
+def test_custom_conv_grads_match_lax(rng, fwd, dgrad, wgrad):
+    """make_conv2d_custom with row-pair fwd/dgrad: same output AND same
+    (dx, dw) as jax.grad of the plain conv."""
+    from mod_extraction_tpu.ops.pallas_conv import make_conv2d_custom
+
+    t_dil = 2
+    x = jnp.asarray(rng.standard_normal((2, 8, 40, 8)).astype(np.float32))
+    w = jnp.asarray(
+        (0.1 * rng.standard_normal((5, 13, 8, 12))).astype(np.float32)
+    )
+    g = jnp.asarray(rng.standard_normal((2, 8, 40, 12)).astype(np.float32))
+    conv = make_conv2d_custom(t_dil, fwd_impl=fwd, dgrad_impl=dgrad,
+                              wgrad_impl=wgrad)
+
+    np.testing.assert_allclose(
+        np.asarray(conv(x, w)),
+        np.asarray(conv2d_same(x, w, 1, t_dil, preferred=None)),
+        atol=2e-5,
+    )
+
+    def loss(fn, x, w):
+        return jnp.sum(fn(x, w) * g)
+
+    dx, dw = jax.grad(lambda x, w: loss(conv, x, w), argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(
+        lambda x, w: loss(
+            lambda a, b: conv2d_same(a, b, 1, t_dil, preferred=None), x, w
+        ),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r), atol=2e-3)
+
+
 def test_spectral2dcnn_conv_impl_equivalence(rng):
     """Same params, conv_impl='lax' vs 'freq_folded' -> same outputs.
     Uses pool (2,1) so every trunk layer keeps an even freq dim (the
@@ -66,6 +116,14 @@ def test_spectral2dcnn_conv_impl_equivalence(rng):
     )
     np.testing.assert_allclose(
         np.asarray(lat_lax), np.asarray(lat_fold), atol=2e-5
+    )
+    m_pair = Spectral2DCNN(conv_impl="pair", **kw)
+    y_pair, lat_pair = m_pair.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_lax), np.asarray(y_pair), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_lax), np.asarray(lat_pair), atol=2e-5
     )
     # and the param tree is checkpoint-shaped either way (Conv_i names)
     assert "Conv_0" in params["params"] and "Conv_2" in params["params"]
