@@ -32,12 +32,15 @@ for c in eval_lfo_distorted eval_lfo; do
   sed "s/${R6}\.npz/${R7}.npz/" "configs/${c}.yml" > "/tmp/r7gate/${c}.yml"
 done
 
-DIST_L1=$(python - <<'EOF'
+# NOTE: validate() prints its metric table to stdout, so keep only the
+# final line (the bare number) — capturing everything feeds the table
+# into the arithmetic gate below
+DIST_L1=$(python - <<'EOF' | tail -1
 from mod_extraction_tpu.cli import validate
 print(f"{validate('/tmp/r7gate/eval_lfo_distorted.yml')['l1']:.6f}")
 EOF
 )
-BASE_L1=$(python - <<'EOF'
+BASE_L1=$(python - <<'EOF' | tail -1
 from mod_extraction_tpu.cli import validate
 print(f"{validate('/tmp/r7gate/eval_lfo.yml')['l1']:.6f}")
 EOF
