@@ -21,7 +21,12 @@ import time
 import numpy as np
 
 
-def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
+def bench_ours(
+    batch_size: int = 128,
+    n_steps: int = 8,
+    conv_impl: str = "lax",
+    wgrad_impl: str = "xla",
+) -> float:
     import jax
     import optax
 
@@ -51,6 +56,8 @@ def bench_ours(batch_size: int = 128, n_steps: int = 8) -> float:
         freq_mask_amount=0.25,
         time_mask_amount=0.25,
         compute_dtype="bfloat16",
+        conv_impl=conv_impl,
+        wgrad_impl=wgrad_impl,
     )
     task = LFOExtractionTask(
         model=model,

@@ -68,8 +68,6 @@ def _wgrad_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # halo window: dyp[v0 : v0 + tile_t + (kt - 1) * dil]
-    dyw = jnp.concatenate([r[0] for r in dy_refs], axis=1)  # (F, n*tile_t, co)
     halo = (kt - 1) * dil
     acc = jnp.zeros_like(out_ref)
     for fc in range(0, f, chunk_f):
@@ -80,9 +78,15 @@ def _wgrad_kernel(
             for a in range(kf)
         ]
         a_mat = jnp.concatenate(a_cols, axis=-1)
+        # halo window dyp[v0 : v0 + tile_t + halo], rows fc..fc+cf only —
+        # concatenating the copies at full height blew the 16 MB scoped
+        # VMEM at the trunk's F=128 layer, so slice rows BEFORE joining
+        dyw = jnp.concatenate(
+            [r[0, fc : fc + cf] for r in dy_refs], axis=1
+        )  # (cf, n*tile_t, co)
         # B: kt time-shifted slices of dy -> (cf*tile_t, kt*co)
         b_cols = [
-            dyw[fc : fc + cf, (halo - j * dil) : (halo - j * dil) + tile_t, :].reshape(
+            dyw[:, (halo - j * dil) : (halo - j * dil) + tile_t, :].reshape(
                 cf * tile_t, co
             )
             for j in range(kt)
@@ -107,7 +111,7 @@ def conv2d_wgrad_tapcat(
     kf: int = 5,
     kt: int = 13,
     dil: int = 1,
-    tile_t: int = 96,
+    tile_t: int | None = None,
     chunk_f: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -122,6 +126,12 @@ def conv2d_wgrad_tapcat(
     _, f2, t2, co = dy.shape
     assert (f, t) == (f2, t2), (x.shape, dy.shape)
     assert kf % 2 == 1 and kt % 2 == 1
+    if tile_t is None:
+        # VMEM working set scales with f * tile_t (the dyw halo concat,
+        # the dy blocks, and the x block): tile_t=96 at the trunk's
+        # F=128 layer overruns the 16 MB scoped-vmem stack (measured
+        # 18.2 MB) — step the tile down as f grows.
+        tile_t = 96 if f <= 64 else (64 if f <= 160 else 32)
     hf = kf // 2  # freq halo (2)
     ht = (kt // 2) * dil  # time halo one side (6*dil)
     halo = (kt - 1) * dil  # 12*dil
@@ -160,10 +170,18 @@ def conv2d_wgrad_tapcat(
             (1, f, tile_t, co), lambda b, vt, k=k: (b, 0, vt + k, 0)
         )
 
+    from jax.experimental.pallas import tpu as pltpu
+
     w_flat = pl.pallas_call(
         # out_ref arrives positionally after inputs; adapt signature
         lambda x_ref, *rest: kernel(x_ref, *rest[:-1], out_ref=rest[-1]),
         grid=(bsz, n_vt),
+        # the double-buffered, lane-padded blocks at the trunk's F=128
+        # layer need ~17 MB — above Mosaic's 16 MB default scoped-vmem
+        # budget but far under the chip's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         in_specs=[
             pl.BlockSpec((1, f + kf - 1, tile_t, ci), lambda b, vt: (b, 0, vt, 0)),
             *[dy_spec(k) for k in range(n_copies)],
