@@ -16,6 +16,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -106,7 +108,69 @@ def bench_ours(
     return audio_sec / dt
 
 
-def bench_reference_torch_cpu(n_reps: int = 3) -> float:
+def bench_tbptt(batch_size: int = 32, n_steps: int = 4) -> float:
+    """Stage-2 (TBPTT) throughput at the shipped config (VERDICT r3 #6):
+    flanger-rendered batches + frozen r6 extractor conditioning + the
+    Pallas-LSTM chunk loop (85 inner optimizer updates per 2 s batch,
+    matching the reference's hot loop `mod_extraction/lightning.py:356-384`
+    at `configs/train_em_sim_*.yml` batch 32).  Returns audio-s/s/chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mod_extraction_tpu.data.synthetic import make_synthetic_batch
+    from mod_extraction_tpu.models import Spectral2DCNN
+    from mod_extraction_tpu.models.lstm import LSTMEffectModel
+    from mod_extraction_tpu.train.checkpoints import load_weights
+    from mod_extraction_tpu.train.render import RenderConfig
+    from mod_extraction_tpu.train.tbptt_task import TBPTTEffectModelingTask
+
+    sr, n_samples = 44100.0, 88200
+    lfo_model = Spectral2DCNN(
+        in_ch=2, n_samples=n_samples, sr=sr, n_fft=1024, hop_len=256,
+        n_mels=256, kernel_size=(5, 13), out_channels=(64,) * 6,
+        temp_dilations=(1, 1, 2, 4, 8, 16), pool_size=(2, 1),
+        compute_dtype="bfloat16",
+    )
+    lfo_params = {"params": load_weights(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6.npz"
+    )}
+    task = TBPTTEffectModelingTask(
+        effect_model=LSTMEffectModel(in_ch=1, out_ch=1, n_hidden=64,
+                                     latent_dim=1),
+        render_cfg=RenderConfig(sr=sr, n_samples=n_samples, effects=(2,),
+                                max_delay_samples=485),
+        lfo_model=lfo_model,
+        lfo_params=lfo_params,
+        optimizer=optax.adamw(1e-4, b1=0.8, b2=0.99),
+    )
+    key = jax.random.PRNGKey(0)
+    state = task.init_state(key)
+    batches = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[
+            make_synthetic_batch(i, batch_size, n_samples, sr, "flanger")
+            for i in range(n_steps)
+        ],
+    )
+
+    def step_keys(rep: int):
+        k = jax.random.fold_in(key, rep)
+        return jnp.stack([jax.random.fold_in(k, i) for i in range(n_steps)])
+
+    state, m = task.train_steps(state, batches, step_keys(0))
+    float(jax.tree.leaves(m)[0][-1])  # fence (see bench_ours note)
+    n_reps = 2
+    t0 = time.perf_counter()
+    for r in range(1, n_reps + 1):
+        state, m = task.train_steps(state, batches, step_keys(r))
+    float(jax.tree.leaves(m)[0][-1])
+    dt = time.perf_counter() - t0
+    audio_sec = batch_size * (n_samples / sr) * n_steps * n_reps
+    return audio_sec / dt
+
+
+def bench_reference_torch_cpu(n_reps: int = 5) -> float:
     """Reference-style per-sample flanger loop (torch, host CPU).
 
     Measures full 2-second example renders (the reference's actual chunk
@@ -165,10 +229,34 @@ def bench_reference_torch_cpu(n_reps: int = 3) -> float:
     return rates[len(rates) // 2]
 
 
+def _arg(flag: str, env: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return os.environ.get(env, default)
+
+
 def main():
-    ours = bench_ours()
+    if "--tbptt" in sys.argv:
+        # Stage-2 throughput gate (recorded in ROUND_NOTES each round);
+        # the driver's plain `python bench.py` stays one JSON line.
+        tb = bench_tbptt()
+        print(
+            json.dumps(
+                {
+                    "metric": "tbptt_train_throughput",
+                    "value": round(tb, 2),
+                    "unit": "audio_sec/sec/chip",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+    conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "pair")
+    wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "pallas")
+    ours = bench_ours(conv_impl=conv_impl, wgrad_impl=wgrad_impl)
+    n_base_reps = 5
     try:
-        ref = bench_reference_torch_cpu()
+        ref = bench_reference_torch_cpu(n_base_reps)
     except Exception:
         ref = float("nan")
     vs = ours / ref if ref == ref and ref > 0 else None
@@ -179,6 +267,12 @@ def main():
                 "value": round(ours, 2),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
+                # the ratio's denominator, so BENCH_rN swings decompose
+                # into numerator vs baseline jitter (VERDICT r3 weak #2)
+                "baseline_value": round(ref, 2) if ref == ref else None,
+                "baseline_reps": n_base_reps,
+                "conv_impl": conv_impl,
+                "wgrad_impl": wgrad_impl,
             }
         )
     )

@@ -18,8 +18,11 @@ EXACT shipped sim_chorus regime: quasiperiodic tri 1.6-1.9 Hz LFO,
 chorus delay block 30 ms / 10 ms, feedback 0.3, min_delay_width 0.367,
 width 0.8, depth 1.0, mix 0.9 (scripts/make_sim_effect_data.py::_render).
 
-Usage: python scripts/make_sim_chorus_gt_control.py [--out data/sim_chorus_gt]
-          [--n-train 256] [--n-val 96] [--n-samples 88200]
+Usage: python scripts/make_sim_chorus_gt_control.py [--regime chorus|chorus2]
+          [--out DIR] [--n-train 256] [--n-val 96] [--n-samples 88200]
+`--regime chorus2` renders the round-4 SHORT-delay regime (5-10 ms sweep:
+min_delay_width 0.167, width 0.5 — make_sim_effect_data.py::sim_chorus2)
+to data/sim_chorus2_gt; the default renders the original shipped regime.
 Rendering uses the device flanger kernel; run it on the TPU (seconds)
 or CPU (slow first compile).
 """
@@ -48,6 +51,8 @@ def render_split(
     n_examples: int,
     n_samples: int,
     batch: int = 32,
+    min_delay_width: float = 0.367,
+    width: float = 0.8,
 ) -> None:
     import jax.numpy as jnp
 
@@ -87,8 +92,8 @@ def render_split(
             apply_flanger_chorus(
                 jnp.asarray(dry), jnp.asarray(mod), SR,
                 max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
-                feedback=0.3, min_delay_width=0.367, width=0.8, depth=1.0,
-                mix=0.9,
+                feedback=0.3, min_delay_width=min_delay_width, width=width,
+                depth=1.0, mix=0.9,
             )
         )
         mod_frames = mod[:, :: MOD_SIG_DIVISOR]
@@ -105,8 +110,8 @@ def render_split(
                     "max_min_delay_ms": 30.0,
                     "max_lfo_delay_ms": 10.0,
                     "feedback": 0.3,
-                    "min_delay_width": 0.367,
-                    "width": 0.8,
+                    "min_delay_width": min_delay_width,
+                    "width": width,
                     "depth": 1.0,
                     "mix": 0.9,
                 },
@@ -115,8 +120,18 @@ def render_split(
         print(f"{out_dir}: {done}/{n_examples}")
 
 
+# (min_delay_width, width, default out dir, corpus seed) per regime;
+# delay sweep = 10*width*mod + 30*min_delay_width ms
+REGIMES = {
+    "chorus": (0.367, 0.8, "data/sim_chorus_gt", 1007),   # 11-19 ms
+    "chorus2": (0.167, 0.5, "data/sim_chorus2_gt", 1013),  # 5-10 ms
+}
+
+
 def main(argv) -> None:
-    out_root = _opt(argv, "--out", "data/sim_chorus_gt")
+    regime = _opt(argv, "--regime", "chorus")
+    mdw, width, out_default, seed = REGIMES[regime]
+    out_root = _opt(argv, "--out", out_default)
     n_train = _opt(argv, "--n-train", 256, int)
     n_val = _opt(argv, "--n-val", 96, int)
     n_samples = _opt(argv, "--n-samples", 88200, int)
@@ -124,11 +139,11 @@ def main(argv) -> None:
     src_val = _opt(argv, "--src-val", "data/idmt_4/val")
     # seed disjoint from the EFFECT_SEEDS family; the regime (not the
     # draws) is what must match the shipped corpus
-    rng = np.random.default_rng(1007)
+    rng = np.random.default_rng(seed)
     render_split(rng, src_train, os.path.join(out_root, "train"), n_train,
-                 n_samples)
+                 n_samples, min_delay_width=mdw, width=width)
     render_split(rng, src_val, os.path.join(out_root, "val"), n_val,
-                 n_samples)
+                 n_samples, min_delay_width=mdw, width=width)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,29 @@ def _render(effect: str, rng, dry: np.ndarray):
             x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
             feedback=0.3, min_delay_width=0.367, width=0.8, depth=1.0, mix=0.9,
         )
+    if effect == "sim_chorus2":
+        # Same quasiperiodic band as sim_chorus but a SHORTER delay sweep
+        # (5-10 ms vs 11-19 ms): the GT-conditioning control proved the
+        # 11-19 ms regime saturates LSTM-64 (val/esr 0.4177 GT == 0.4244
+        # rand — the memory needed to realize a >11 ms fractional delay
+        # exceeds 64 hidden units), so no conditioning signal can help
+        # there.  5-10 ms (220-440 samples) sits between the learnable
+        # flanger regimes and that ceiling — the regime where the
+        # reference's own chorus win lives (EGFx chorus LSTM 0.5938 vs
+        # rand 0.8226, eval_em_unseen_effect.txt:59).
+        mods = []
+        for _ in range(n_pairs):
+            m = np_make_mod_signal(
+                SEG, SR, float(rng.uniform(1.6, 1.9)),
+                float(rng.uniform(0, 2 * np.pi)), "tri",
+            )
+            mods.append(make_quasi_periodic(rng, m))
+        mod = jnp.asarray(np.stack(mods).astype(np.float32))
+        return apply_flanger_chorus(
+            x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
+            feedback=0.3, min_delay_width=0.167, width=0.5, depth=1.0,
+            mix=0.9,
+        )
     if effect in ("sim_flanger", "sim_flanger2"):
         mods = []
         for _ in range(n_pairs):
@@ -115,7 +138,9 @@ def _render(effect: str, rng, dry: np.ndarray):
     raise SystemExit(f"unknown effect: {effect}")
 
 
-ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
+ALL_EFFECTS = (
+    "sim_chorus", "sim_chorus2", "sim_flanger", "sim_flanger2", "sim_phaser"
+)
 
 # Fixed per-effect corpus seeds.  These pin the EXACT shipped corpora:
 # chorus/flanger/phaser came from the original three-effect full run
@@ -125,6 +150,7 @@ ALL_EFFECTS = ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
 # change the corpus when effects are added or generated one at a time.
 EFFECT_SEEDS = {
     "sim_chorus": 7,
+    "sim_chorus2": 11,  # new in round 4 (short-delay regime)
     "sim_flanger": 8,
     "sim_flanger2": 7,
     "sim_phaser": 9,

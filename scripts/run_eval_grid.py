@@ -232,6 +232,8 @@ def _unseen_audio_groups():
 # scripts/make_sim_effect_data.py
 EM_SIM_EFFECTS = [
     ("sim_chorus", "configs/models/baseline_sim_chorus.yml"),
+    # round-4 short-delay (5-10 ms) regime, same LFO band as sim_chorus
+    ("sim_chorus2", "configs/models/baseline_sim_chorus.yml"),
     ("sim_flanger", "configs/models/baseline_sim_flanger.yml"),
     # same LFO band as sim_flanger (the baseline band config is shared);
     # sharper, fully-wet comb — the phase-critical regime
@@ -386,37 +388,55 @@ def build_gt_control_blocks(validate_many, table):
 
     from mod_extraction_tpu.cli import load_yaml_with_includes
 
-    ckpt = "models/lstm_64__gt_mod_sig__sim_chorus_gt.npz"
-    missing = [
-        p
-        for p in (ckpt, "data/sim_chorus_gt/val")
-        if not os.path.exists(p)
+    # (label, gtctrl train config, gt ckpt, gt corpus, rand ckpt) —
+    # chorus (11-19 ms, the proven capacity floor) and chorus2 (5-10 ms,
+    # the round-4 regime inside LSTM-64 capacity)
+    regimes = [
+        (
+            "sim_chorus",
+            "train_em_sim_chorus_gtctrl.yml",
+            "models/lstm_64__gt_mod_sig__sim_chorus_gt.npz",
+            "data/sim_chorus_gt/val",
+            "models/rand_baseline__sim_chorus.npz",
+        ),
+        (
+            "sim_chorus2",
+            "train_em_sim_chorus2_gtctrl.yml",
+            "models/lstm_64__gt_mod_sig__sim_chorus2_gt.npz",
+            "data/sim_chorus2_gt/val",
+            "models/rand_baseline__sim_chorus2.npz",
+        ),
     ]
-    if missing:
-        return [
-            "SKIPPED (gt control not trained): " + "; ".join(missing)
-            + " — see configs/train_em_sim_chorus_gtctrl.yml\n"
-        ]
-    base = load_yaml_with_includes("train_em_sim_chorus_gtctrl.yml")
-    gt = copy.deepcopy(base)
-    gt["ckpt_path"] = ckpt
-    rand = copy.deepcopy(base)
-    rand["ckpt_path"] = "models/rand_baseline__sim_chorus.npz"
-    rand["model"]["init_args"]["lfo_model"] = load_yaml_with_includes(
-        "configs/models/baseline_sim_chorus.yml"
-    )
     blocks = []
-    try:
-        # different model blocks (GT path vs RandomLFO) -> different
-        # tasks -> one validate_many call each
-        gt_metrics = validate_many([("gt", gt)])[0][1]
-        rand_metrics = validate_many([("rand", rand)])[0][1]
-        blocks.append(table(gt_metrics))
-        blocks.append(f"{table(rand_metrics)}\nsim_chorus gt control\n")
-    except Exception:
-        blocks.append(
-            f"FAILED (sim_chorus gt control):\n{traceback.format_exc()}"
+    for label, cfg_name, ckpt, corpus, rand_ckpt in regimes:
+        missing = [
+            p for p in (ckpt, corpus, rand_ckpt) if not os.path.exists(p)
+        ]
+        if missing:
+            blocks.append(
+                f"SKIPPED ({label} gt control not trained): "
+                + "; ".join(missing) + f" — see configs/{cfg_name}\n"
+            )
+            continue
+        base = load_yaml_with_includes(cfg_name)
+        gt = copy.deepcopy(base)
+        gt["ckpt_path"] = ckpt
+        rand = copy.deepcopy(base)
+        rand["ckpt_path"] = rand_ckpt
+        rand["model"]["init_args"]["lfo_model"] = load_yaml_with_includes(
+            "configs/models/baseline_sim_chorus.yml"
         )
+        try:
+            # different model blocks (GT path vs RandomLFO) -> different
+            # tasks -> one validate_many call each
+            gt_metrics = validate_many([("gt", gt)])[0][1]
+            rand_metrics = validate_many([("rand", rand)])[0][1]
+            blocks.append(table(gt_metrics))
+            blocks.append(f"{table(rand_metrics)}\n{label} gt control\n")
+        except Exception:
+            blocks.append(
+                f"FAILED ({label} gt control):\n{traceback.format_exc()}"
+            )
     return blocks
 
 

@@ -18,7 +18,12 @@ Checks (kernel vs scan, compiled on the real TPU backend):
      input / state cotangents;
   5. conv wgrad — the tap-concat Pallas weight gradient
      (ops/pallas_conv.py) vs XLA autodiff at two real trunk shapes
-     (dil=2 single-copy halo, dil=16 three-copy halo).
+     (dil=2 single-copy halo, dil=16 three-copy halo), plus a
+     bf16-exact-input check at 1e-3 so indexing bugs can't hide behind
+     the bf16 contraction tolerance;
+  6. row-pair conv — conv2d_pair_rows fwd vs conv2d_same in bf16 at two
+     trunk shapes, and the composed pair+pair+pallas custom VJP
+     (loss/dx/dw) vs the plain lax/xla step.
 
 Usage: python scripts/tpu_parity_gate.py   (TPU must be otherwise idle)
 Exits nonzero on the first tolerance breach; prints one line per check.
@@ -186,6 +191,109 @@ def gate_conv_wgrad(rng):
             atol=2e-2,
         )
 
+    # bf16-EXACT inputs (VERDICT r3 weak #5): values pre-rounded to the
+    # bf16 grid make the kernel's bf16 casts lossless and its products
+    # exact in the fp32 accumulator, so only accumulation order remains
+    # — an indexing/tap bug cannot hide behind bf16 rounding tolerance.
+    b, f, t, dil = (4, 16, 96, 2) if QUICK else (32, 64, 345, 2)
+    x = jnp.asarray(
+        (0.3 * rng.standard_normal((b, f, t, 64)))
+        .astype(np.float32)
+        .astype(jnp.bfloat16)
+        .astype(np.float32)
+    )
+    dy = jnp.asarray(
+        (0.3 * rng.standard_normal((b, f, t, 64)))
+        .astype(np.float32)
+        .astype(jnp.bfloat16)
+        .astype(np.float32)
+    )
+    ref = conv2d_wgrad_reference(x, dy, dil=dil)
+    got = conv2d_wgrad_tapcat(x, dy, dil=dil, interpret=INTERPRET)
+    scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-6
+    check(
+        "conv wgrad tap-concat (bf16-exact inputs)",
+        np.asarray(got) / scale,
+        np.asarray(ref) / scale,
+        atol=1e-3,
+    )
+
+
+def gate_conv_pair(rng):
+    """Row-pair conv path (VERDICT r3 missing #4): `conv2d_pair_rows`
+    fwd vs `conv2d_same` in bf16 at trunk shapes, plus the composed
+    pair+pair+pallas custom VJP (`make_conv2d_custom`) loss and grads vs
+    the plain lax/xla step — the bf16 on-chip behavior of the path the
+    trainer defaults select (models/spectral_2dcnn.py::_TrunkConv)."""
+    from mod_extraction_tpu.ops.conv import conv2d_pair_rows, conv2d_same
+    from mod_extraction_tpu.ops.pallas_conv import make_conv2d_custom
+
+    # (a) fwd at trunk shapes, bf16 inputs, fp32 accumulation: only
+    # accumulation order differs between the two formulations
+    shapes = [(2, 16, 64, 2)] if QUICK else [
+        (32, 128, 345, 1),  # trunk L1
+        (32, 8, 345, 16),   # trunk L5
+    ]
+    for b, f, t, dil in shapes:
+        x = jnp.asarray(
+            (0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            (0.1 * rng.standard_normal((5, 13, 64, 64))).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ref = conv2d_same(x, w, 1, dil, preferred=jnp.float32)
+        got = conv2d_pair_rows(x, w, 1, dil, preferred=jnp.float32)
+        scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-6
+        check(
+            f"conv pair-rows fwd bf16 (F={f}, dil={dil})",
+            np.asarray(got) / scale,
+            np.asarray(ref) / scale,
+            atol=1e-3,
+        )
+
+    # (b) composed custom VJP at a trunk shape: loss + dx + dw
+    b, f, t, dil = (2, 16, 64, 2) if QUICK else (32, 64, 345, 2)
+    x = jnp.asarray(
+        (0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray(
+        (0.1 * rng.standard_normal((5, 13, 64, 64))).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    conv_pair = make_conv2d_custom(
+        dil, fwd_impl="pair", dgrad_impl="pair", wgrad_impl="pallas",
+        interpret=INTERPRET,
+    )
+
+    def loss_pair(w, x):
+        return jnp.mean(conv_pair(x, w).astype(jnp.float32) ** 2)
+
+    def loss_ref(w, x):
+        y = conv2d_same(x, w, 1, dil, preferred=None)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    l_p, (dw_p, dx_p) = jax.jit(
+        jax.value_and_grad(loss_pair, argnums=(0, 1))
+    )(w, x)
+    l_r, (dw_r, dx_r) = jax.jit(
+        jax.value_and_grad(loss_ref, argnums=(0, 1))
+    )(w, x)
+    check("conv pair+pallas composed loss", l_p, l_r, atol=0.0, rtol=1e-2)
+    for name, got, ref, tol in (
+        # dx: both paths multiply the same bf16 values; the pair dgrad is
+        # a re-bracketed sum — bf16-output rounding dominates (~1 ulp)
+        ("dx", dx_p, dx_r, 1e-2),
+        # dw: Pallas bf16 contraction vs XLA's framing — same budget as
+        # the standalone wgrad check
+        ("dw", dw_p, dw_r, 2e-2),
+    ):
+        scale = float(np.max(np.abs(np.asarray(ref, np.float32)))) + 1e-6
+        check(
+            f"conv pair+pallas composed {name}",
+            np.asarray(got, np.float32) / scale,
+            np.asarray(ref, np.float32) / scale,
+            atol=tol,
+        )
+
 
 def main():
     dev = jax.devices()[0]
@@ -207,6 +315,7 @@ def main():
     gate_lstm_fwd(rng)
     gate_lstm_train(rng)
     gate_conv_wgrad(rng)
+    gate_conv_pair(rng)
     print(f"gate finished in {time.time() - t0:.0f}s: "
           + ("FAIL " + ", ".join(FAILURES) if FAILURES else "ALL PASS"))
     sys.exit(1 if FAILURES else 0)

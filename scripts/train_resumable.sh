@@ -19,6 +19,18 @@ CFG=${1:?usage: train_resumable.sh <config> [total_epochs] [epochs_per_proc] [st
 TOTAL=${2:-400}
 CHUNK=${3:-8}
 START=${4:-0}
+# Preflight (VERDICT r3 #8): on a real TPU backend, run the quick Pallas
+# parity gate once before committing hours of training — a Mosaic or
+# runtime regression fails loudly here instead of silently corrupting
+# the run.  Skipped on CPU backends (the gate only smoke-tests there)
+# or with SKIP_PARITY_GATE=1.
+if [ "${SKIP_PARITY_GATE:-0}" != "1" ]; then
+  BACKEND=$(python -c "import jax; print(jax.default_backend())")
+  if [ "$BACKEND" = "tpu" ]; then
+    echo "[train_resumable] preflight: tpu_parity_gate --quick"
+    python scripts/tpu_parity_gate.py --quick
+  fi
+fi
 for ((e = START + CHUNK; e <= TOTAL; e += CHUNK)); do
   python -c "from mod_extraction_tpu.cli import fit; fit('$CFG', resume=True, max_epochs=$e)"
 done

@@ -287,6 +287,46 @@ for _rn in ("r5", "r6"):
             ),
         )
 
+# round-4 sim_chorus2 conditioning bracket (scripts/sim_chorus2_chain.sh)
+REGISTRY["lstm_64__lfo_2dcnn_r6__sim_chorus2"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus2.yml",
+    metrics_run="lstm_64__lfo_2dcnn_r6__sim_chorus2",
+    parent_extractor=(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+        "interwoven_idmt_all_live_r6.npz"
+    ),
+    corpus="data/sim_chorus2 (scripts/make_sim_effect_data.py, "
+    "short-delay 5-10 ms regime)",
+    notes=(
+        "Stage-2 LSTM-64 on the round-4 short-delay sim chorus (fresh "
+        "100-epoch run): the regime inside LSTM-64 capacity where a "
+        "chorus conditioning win is demonstrable (VERDICT r3 #5)."
+    ),
+)
+REGISTRY["rand_baseline__sim_chorus2"] = dict(
+    kind="trained",
+    train_config="configs/train_baseline_em_sim_chorus2.yml",
+    metrics_run="rand_baseline__sim_chorus2",
+    corpus="data/sim_chorus2 (scripts/make_sim_effect_data.py)",
+    notes="RandomLFO-conditioned LSTM-64 baseline (100 epochs) for the "
+    "short-delay chorus regime.",
+)
+REGISTRY["lstm_64__gt_mod_sig__sim_chorus2_gt"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus2_gtctrl.yml",
+    metrics_run="lstm_64__gt_mod_sig__sim_chorus2_gt",
+    parent_extractor="none (ground-truth mod-sig conditioning)",
+    corpus="data/sim_chorus2_gt (scripts/make_sim_chorus_gt_control.py "
+    "--regime chorus2)",
+    notes=(
+        "GROUND-TRUTH conditioning ceiling for sim_chorus2: brackets the "
+        "extractor-conditioned run from above as the rand baseline does "
+        "from below; archived in eval_em_sim.txt 'sim_chorus2 gt "
+        "control' block."
+    ),
+)
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",

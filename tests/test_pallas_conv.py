@@ -61,6 +61,26 @@ def test_wgrad_multi_copy_halo():
     )
 
 
+@pytest.mark.parametrize(
+    "b,f,t,ci,co,dil",
+    [
+        (1, 32, 64, 8, 8, 1),   # f<=64 branch: tile_t=96
+        (1, 168, 48, 8, 8, 2),  # f>160 branch: tile_t=32
+    ],
+)
+def test_wgrad_auto_tile_t(b, f, t, ci, co, dil):
+    """tile_t=None auto-selection (ADVICE r3 #2): the stepped 96/64/32
+    default must pick a valid tiling at every branch, including f>160."""
+    x = _rand((b, f, t, ci), 7)
+    dy = _rand((b, f, t, co), 8)
+    ref = conv2d_wgrad_reference(x, dy, dil=dil)
+    got = conv2d_wgrad_tapcat(x, dy, dil=dil, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(ref) / scale, atol=2e-2
+    )
+
+
 def test_custom_vjp_conv_grads_match():
     """The full custom-VJP conv: fwd identical, dx identical to XLA,
     dw from the Pallas kernel."""
