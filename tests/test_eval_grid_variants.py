@@ -131,13 +131,15 @@ def test_em_sim_lstm_ckpts_follow_base_config():
     cfg["ckpt_path"] = "models/lstm_64__lfo_2dcnn_r9__sim_chorus.npz"
     pairs = list(_MOD._em_sim_variants(cfg))
     labels = [label for label, _ in pairs]
+    effects = (
+        "sim_chorus", "sim_chorus2", "sim_flanger", "sim_flanger2",
+        "sim_phaser",
+    )
     assert labels == [
-        f"{eff}__{kind}"
-        for eff in ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser")
-        for kind in ("lstm", "rand")
+        f"{eff}__{kind}" for eff in effects for kind in ("lstm", "rand")
     ]
     by_label = dict(pairs)
-    for eff in ("sim_chorus", "sim_flanger", "sim_flanger2", "sim_phaser"):
+    for eff in effects:
         assert by_label[f"{eff}__lstm"]["ckpt_path"] == (
             f"models/lstm_64__lfo_2dcnn_r9__{eff}.npz"
         )
@@ -147,25 +149,33 @@ def test_em_sim_lstm_ckpts_follow_base_config():
 
 
 def test_gt_control_block(monkeypatch):
-    """SKIPPED-with-a-pointer when the control artifacts are absent;
-    once present, one GT table + one rand table labeled 'sim_chorus gt
-    control', each via its own validate_many call (different tasks).
-    Both states are simulated via os.path.exists (the control HAS
-    shipped in this repo, so the absent state must be faked too)."""
+    """SKIPPED-with-a-pointer when a regime's control artifacts are
+    absent; once present, one GT table + one rand table per regime
+    (sim_chorus and the round-4 sim_chorus2), each via its own
+    validate_many call (different tasks).  Both states are simulated via
+    os.path.exists so the test is independent of which regenerable
+    artifacts exist in this checkout."""
     import os as _os
 
     real_exists = _os.path.exists
-    monkeypatch.setattr(
-        _os.path, "exists",
-        lambda p: False if "sim_chorus_gt" in str(p) else real_exists(p),
-    )
-    blocks = _MOD.build_gt_control_blocks(None, None)
-    assert len(blocks) == 1 and blocks[0].startswith("SKIPPED")
-    assert "train_em_sim_chorus_gtctrl" in blocks[0]
+    GT_MARKERS = ("sim_chorus_gt", "sim_chorus2_gt", "rand_baseline__sim_chorus")
 
     monkeypatch.setattr(
         _os.path, "exists",
-        lambda p: True if "sim_chorus_gt" in str(p) else real_exists(p),
+        lambda p: False
+        if any(m in str(p) for m in GT_MARKERS)
+        else real_exists(p),
+    )
+    blocks = _MOD.build_gt_control_blocks(None, None)
+    assert len(blocks) == 2 and all(b.startswith("SKIPPED") for b in blocks)
+    assert "train_em_sim_chorus_gtctrl" in blocks[0]
+    assert "train_em_sim_chorus2_gtctrl" in blocks[1]
+
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: True
+        if any(m in str(p) for m in GT_MARKERS)
+        else real_exists(p),
     )
     calls = []
 
@@ -176,9 +186,10 @@ def test_gt_control_block(monkeypatch):
     blocks = _MOD.build_gt_control_blocks(
         fake_validate_many, lambda m: f"TABLE({sorted(m)})"
     )
-    assert calls == [["gt"], ["rand"]]
-    assert len(blocks) == 2
+    assert calls == [["gt"], ["rand"], ["gt"], ["rand"]]
+    assert len(blocks) == 4
     assert blocks[1].splitlines()[-1] == "sim_chorus gt control"
+    assert blocks[3].splitlines()[-1] == "sim_chorus2 gt control"
     cfgs = []
 
     def grab_validate_many(variants):
@@ -186,13 +197,18 @@ def test_gt_control_block(monkeypatch):
         return [(lb, {}) for lb, _ in variants]
 
     _MOD.build_gt_control_blocks(grab_validate_many, lambda m: "T")
-    by = dict(cfgs)
-    assert by["gt"]["model"]["init_args"]["lfo_model"] is None
-    assert by["gt"]["ckpt_path"].endswith("gt_mod_sig__sim_chorus_gt.npz")
-    assert by["rand"]["ckpt_path"].endswith("rand_baseline__sim_chorus.npz")
-    assert by["rand"]["model"]["init_args"]["lfo_model"]["class_path"].endswith(
-        "RandomLFO"
-    )
+    assert [lb for lb, _ in cfgs] == ["gt", "rand", "gt", "rand"]
+    gt1, rand1, gt2, rand2 = (c for _, c in cfgs)
+    for gt in (gt1, gt2):
+        assert gt["model"]["init_args"]["lfo_model"] is None
+    assert gt1["ckpt_path"].endswith("gt_mod_sig__sim_chorus_gt.npz")
+    assert gt2["ckpt_path"].endswith("gt_mod_sig__sim_chorus2_gt.npz")
+    assert rand1["ckpt_path"].endswith("rand_baseline__sim_chorus.npz")
+    assert rand2["ckpt_path"].endswith("rand_baseline__sim_chorus2.npz")
+    for rand in (rand1, rand2):
+        assert rand["model"]["init_args"]["lfo_model"]["class_path"].endswith(
+            "RandomLFO"
+        )
 
 
 def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
@@ -212,7 +228,25 @@ def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
     def fake_table(metrics):
         return f"TABLE({sorted(metrics)})"
 
-    # all four effects' corpora+ckpts exist on this host -> 4 paired blocks
+    # fake every corpus + checkpoint present (they are regenerable
+    # artifacts, not guaranteed in a fresh checkout) -> paired blocks
+    import os as _os
+
+    real_isdir, real_isfile = _os.path.isdir, _os.path.isfile
+
+    def all_present(missing_marker=None):
+        monkeypatch.setattr(
+            _os.path, "isdir",
+            lambda p: False
+            if missing_marker and missing_marker in str(p)
+            else (True if "data/sim_" in str(p) else real_isdir(p)),
+        )
+        monkeypatch.setattr(
+            _os.path, "isfile",
+            lambda p: True if str(p).startswith("models/") else real_isfile(p),
+        )
+
+    all_present()
     blocks = _MOD.build_em_sim_blocks(cfg, fake_validate_many, fake_table)
     effects = [e for e, _ in _MOD.EM_SIM_EFFECTS]
     assert [b.splitlines()[-1] for b in blocks[1::2]] == effects
@@ -221,20 +255,14 @@ def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
     assert calls[0] == [f"{e}__lstm" for e in effects]
 
     # remove one effect's corpus: only its block becomes SKIPPED
-    import os as _os
-
-    real_isdir = _os.path.isdir
-    monkeypatch.setattr(
-        _os.path, "isdir",
-        lambda p: False if "sim_flanger2" in str(p) else real_isdir(p),
-    )
+    all_present(missing_marker="sim_flanger2")
     blocks = _MOD.build_em_sim_blocks(cfg, fake_validate_many, fake_table)
     skipped = [b for b in blocks if b.startswith("SKIPPED")]
     assert len(skipped) == 1 and "sim_flanger2" in skipped[0]
     assert len(blocks) == 2 * (len(effects) - 1) + 1
 
     # a rand-variant failure for one effect leaves the others intact
-    monkeypatch.undo()
+    all_present()
 
     def flaky_validate_many(variants):
         if any(lb == "sim_phaser__rand" for lb, _ in variants):
