@@ -251,8 +251,13 @@ def main():
             )
         )
         return
-    conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "pair")
-    wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "pallas")
+    # Defaults = the measured end-to-end winner on the real chip (round-4
+    # A/B at batch 128: lax/xla 1139, pair/xla 963, lax/pallas 639,
+    # pair/pallas 487 audio-s/s — both round-3 experimental paths LOSE
+    # end-to-end; see ROUND_NOTES round-4 table).  The knobs remain so
+    # future kernels can be A/B'd the same way.
+    conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "lax")
+    wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "xla")
     ours = bench_ours(conv_impl=conv_impl, wgrad_impl=wgrad_impl)
     n_base_reps = 5
     try:
