@@ -28,6 +28,7 @@ def bench_ours(
     n_steps: int = 8,
     conv_impl: str = "lax",
     wgrad_impl: str = "xla",
+    grad_barrier: bool = False,
 ) -> float:
     import jax
     import optax
@@ -60,6 +61,7 @@ def bench_ours(
         compute_dtype="bfloat16",
         conv_impl=conv_impl,
         wgrad_impl=wgrad_impl,
+        grad_barrier=grad_barrier,
     )
     task = LFOExtractionTask(
         model=model,

@@ -66,6 +66,11 @@ class _TrunkConv(nn.Module):
     # Backward weight-gradient path: "xla" (autodiff) or "pallas" (the
     # tap-concat MXU kernel, ops/pallas_conv.py) where supported.
     wgrad_impl: str = "xla"
+    # Materialize the incoming cotangent once in the backward (custom
+    # VJP + optimization_barrier + fused f32 dbias) instead of letting
+    # XLA re-fuse its producer chain into every consumer — see
+    # make_conv2d_custom(barrier=...).
+    grad_barrier: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,14 +94,16 @@ class _TrunkConv(nn.Module):
         ):
             y = conv2d_freq_folded(x, k, self.bin_dil, self.temp_dil,
                                    preferred=None)
-        elif pair_ok or wgrad_ok:
+        elif (pair_ok or wgrad_ok or self.grad_barrier) and self.bin_dil == 1:
             conv = make_conv2d_custom(
                 self.temp_dil,
                 fwd_impl="pair" if pair_ok else "lax",
                 dgrad_impl="pair" if pair_ok else "lax",
                 wgrad_impl="pallas" if wgrad_ok else "xla",
+                with_bias=True,
+                barrier=self.grad_barrier,
             )
-            y = conv(x, k)
+            return conv(x, k, bias)
         else:
             y = conv2d_same(x, k, self.bin_dil, self.temp_dil, preferred=None)
         return y + bias.astype(y.dtype)
@@ -131,6 +138,12 @@ class Spectral2DCNN(nn.Module):
     # Weight-gradient path: "xla" or "pallas" (ops/pallas_conv.py
     # tap-concat kernel; applies to the 64-channel trunk layers only).
     wgrad_impl: str = "xla"
+    # Single-materialization backward (custom VJP + optimization_barrier
+    # + fused f32 dbias) — kills XLA's duplicated remat of the pool/PReLU
+    # backward chain into each of wgrad/dgrad/dbias (round-4 trace).
+    # False/"none", True/"all", or "l0" (first layer only — the layer
+    # whose duplicated remat passes were largest relative to its FLOPs).
+    grad_barrier: bool | str = False
 
     def _channels(self):
         return list(self.out_channels) if self.out_channels else [64] * 5
@@ -194,6 +207,11 @@ class Spectral2DCNN(nn.Module):
                 dtype=cdtype,
                 impl=self.conv_impl,
                 wgrad_impl=self.wgrad_impl,
+                grad_barrier=(
+                    self.grad_barrier is True
+                    or self.grad_barrier == "all"
+                    or (self.grad_barrier == "l0" and i == 0)
+                ),
                 name=f"Conv_{i}",  # nn.Conv's auto-name: ckpt-compatible
             )(h)
             h = max_pool_floor(h, self.pool_size)

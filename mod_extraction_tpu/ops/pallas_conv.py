@@ -217,6 +217,8 @@ def make_conv2d_custom(
     dgrad_impl: str = "lax",
     wgrad_impl: str = "pallas",
     interpret: bool = False,
+    with_bias: bool = False,
+    barrier: bool = False,
 ):
     """conv2d_same(x, w, 1, dil) with an explicitly chosen backward.
 
@@ -225,8 +227,22 @@ def make_conv2d_custom(
     full 128 output lanes).  dgrad is itself a same-conv of the output
     cotangent with the freq/time-flipped channel-transposed kernel, so
     the same pairing applies.  wgrad_impl: "xla" (autodiff framing) or
-    "pallas" (the tap-concat kernel above).  Returns a (x, w) -> y
-    callable."""
+    "pallas" (the tap-concat kernel above).
+
+    with_bias: the returned callable takes (x, w, b) and computes
+    conv + b, with db = sum(g) in the custom backward.
+
+    barrier: wrap the incoming cotangent in `lax.optimization_barrier`
+    so it is materialized ONCE.  Without it XLA re-fuses the cotangent's
+    producer chain (max-pool eq-mask backward + PReLU backward, each
+    reading full pre-pool activations) separately into the wgrad, dgrad,
+    and dbias consumers — measured 2x2.17 GB of duplicated HBM traffic
+    at the trunk's F=256 layer alone (round-4 trace: two
+    bf16[128,128,2,345,64] broadcasts + 4.3 GB dbias + 4.4 GB wgrad
+    passes for a 187 GFLOP layer).  The barrier converts recompute into
+    one bf16 buffer write + three reads.
+
+    Returns a (x, w[, b]) -> y callable."""
     from mod_extraction_tpu.ops.conv import conv2d_pair_rows, conv2d_same
 
     def one_conv(impl, x, w):
@@ -243,6 +259,8 @@ def make_conv2d_custom(
 
     def bwd(res, g):
         x, w = res
+        if barrier:
+            g = jax.lax.optimization_barrier(g)
         if dgrad_impl in ("lax", "pair"):
             # dx = same-conv of g with the flipped, channel-transposed
             # kernel (odd kernel dims keep 'same' padding symmetric)
@@ -267,7 +285,29 @@ def make_conv2d_custom(
         return dx, dw.astype(w.dtype)
 
     conv.defvjp(fwd, bwd)
-    return conv
+    if not with_bias:
+        return conv
+
+    @jax.custom_vjp
+    def conv_bias(x, w, b):
+        y = one_conv(fwd_impl, x, w)
+        return y + b.astype(y.dtype)
+
+    def fwd_b(x, w, b):
+        return conv_bias(x, w, b), (x, w)
+
+    def bwd_b(res, g):
+        x, w = res
+        if barrier:
+            g = jax.lax.optimization_barrier(g)
+        # db accumulated in f32 (the bias param is f32; summing the bf16
+        # cotangent in f32 only improves on the autodiff framing)
+        db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        dx, dw = bwd((x, w), g)
+        return dx, dw, db
+
+    conv_bias.defvjp(fwd_b, bwd_b)
+    return conv_bias
 
 
 def make_conv2d_same_pallas_wgrad(dil: int, interpret: bool = False):
