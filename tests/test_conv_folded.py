@@ -128,3 +128,41 @@ def test_spectral2dcnn_conv_impl_equivalence(rng):
     # and the param tree is checkpoint-shaped either way (Conv_i names)
     assert "Conv_0" in params["params"] and "Conv_2" in params["params"]
     assert set(params["params"]["Conv_0"]) == {"kernel", "bias"}
+
+
+def test_grad_barrier_bias_vjp_bit_exact(rng):
+    """grad_barrier (custom VJP owning the bias, optimization_barrier on
+    the cotangent, f32 dbias) must reproduce the autodiff path's loss
+    and every param gradient bit-for-bit in f32 — the barrier only pins
+    XLA scheduling, never the math (ops/pallas_conv.py
+    make_conv2d_custom(with_bias=True, barrier=True))."""
+    from mod_extraction_tpu.models import Spectral2DCNN
+
+    kw = dict(
+        in_ch=2, n_samples=8192, sr=44100, n_fft=512, hop_len=256,
+        n_mels=32, kernel_size=(5, 13), out_channels=(8, 8, 8),
+        temp_dilations=(1, 2, 4), pool_size=(2, 1),
+    )
+    x = jnp.asarray(
+        (0.3 * rng.standard_normal((2, 2, 8192))).astype(np.float32)
+    )
+    m0 = Spectral2DCNN(**kw)
+    params = m0.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, p):
+        y, _ = m.apply(p, x)
+        return jnp.sum(y**2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    for mode in (True, "l0"):
+        m1 = Spectral2DCNN(grad_barrier=mode, **kw)
+        l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+        assert float(l0) == float(l1), mode
+        for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{mode} {jax.tree_util.keystr(k)}",
+            )
