@@ -166,3 +166,47 @@ def test_grad_barrier_bias_vjp_bit_exact(rng):
                 np.asarray(a), np.asarray(b),
                 err_msg=f"{mode} {jax.tree_util.keystr(k)}",
             )
+
+
+@pytest.mark.parametrize("wgrad", ["xla", "pallas"])
+def test_custom_conv_with_bias_grads(rng, wgrad):
+    """make_conv2d_custom(with_bias=True): (x, w, b) -> conv + b with
+    dx/dw/db matching jax.grad of the plain conv (+ bias), including the
+    Pallas tap-concat wgrad in interpret mode."""
+    from mod_extraction_tpu.ops.pallas_conv import make_conv2d_custom
+
+    t_dil = 2
+    # pre-round x/g to bf16 so the tap-concat kernel's internal bf16
+    # cast is lossless and the comparison against the f32 reference is
+    # tight (the gate's "bf16-exact inputs" trick)
+    def bf16_exact(a):
+        return jnp.asarray(a.astype(np.float32)).astype(jnp.bfloat16).astype(
+            jnp.float32
+        )
+
+    x = bf16_exact(rng.standard_normal((2, 8, 40, 8)))
+    w = jnp.asarray(
+        (0.1 * rng.standard_normal((5, 13, 8, 16))).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+    g = bf16_exact(rng.standard_normal((2, 8, 40, 16)))
+    conv = make_conv2d_custom(
+        t_dil, fwd_impl="lax", dgrad_impl="lax", wgrad_impl=wgrad,
+        interpret=True, with_bias=True, barrier=True,
+    )
+
+    def ref(x, w, b):
+        return conv2d_same(x, w, 1, t_dil, preferred=None) + b
+
+    np.testing.assert_allclose(
+        np.asarray(conv(x, w, b)), np.asarray(ref(x, w, b)), atol=2e-5
+    )
+    dx, dw, db = jax.grad(
+        lambda *a: jnp.sum(conv(*a) * g), argnums=(0, 1, 2)
+    )(x, w, b)
+    dx_r, dw_r, db_r = jax.grad(
+        lambda *a: jnp.sum(ref(*a) * g), argnums=(0, 1, 2)
+    )(x, w, b)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r), atol=2e-4)
