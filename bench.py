@@ -29,6 +29,8 @@ def bench_ours(
     conv_impl: str = "lax",
     wgrad_impl: str = "xla",
     grad_barrier: bool = False,
+    stft_impl: str = "auto",
+    act_io_dtype: str = "float32",
 ) -> float:
     import jax
     import optax
@@ -62,6 +64,8 @@ def bench_ours(
         conv_impl=conv_impl,
         wgrad_impl=wgrad_impl,
         grad_barrier=grad_barrier,
+        stft_impl=stft_impl,
+        act_io_dtype=act_io_dtype,
     )
     task = LFOExtractionTask(
         model=model,
@@ -260,7 +264,16 @@ def main():
     # future kernels can be A/B'd the same way.
     conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "lax")
     wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "xla")
-    ours = bench_ours(conv_impl=conv_impl, wgrad_impl=wgrad_impl)
+    stft_impl = _arg("--stft-impl", "BENCH_STFT_IMPL", "auto")
+    act_io_dtype = _arg("--act-io", "BENCH_ACT_IO", "float32")
+    batch_size = int(_arg("--batch", "BENCH_BATCH", "128"))
+    ours = bench_ours(
+        batch_size=batch_size,
+        conv_impl=conv_impl,
+        wgrad_impl=wgrad_impl,
+        stft_impl=stft_impl,
+        act_io_dtype=act_io_dtype,
+    )
     n_base_reps = 5
     try:
         ref = bench_reference_torch_cpu(n_base_reps)
@@ -280,6 +293,9 @@ def main():
                 "baseline_reps": n_base_reps,
                 "conv_impl": conv_impl,
                 "wgrad_impl": wgrad_impl,
+                "stft_impl": stft_impl,
+                "act_io_dtype": act_io_dtype,
+                "batch_size": batch_size,
             }
         )
     )

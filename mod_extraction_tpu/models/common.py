@@ -15,10 +15,16 @@ from flax import linen as nn
 
 
 class PReLU(nn.Module):
-    """Per-channel PReLU (torch `nn.PReLU(num_parameters=C)`), channel-last."""
+    """Per-channel PReLU (torch `nn.PReLU(num_parameters=C)`), channel-last.
+
+    `keep_dtype=True` computes `alpha * x` in x's dtype instead of letting
+    the fp32 alpha promote the product — with a bfloat16 trunk this keeps
+    the activation stream (and every backward re-read of it) in bf16,
+    halving the HBM traffic of the elementwise tail."""
 
     num_parameters: int
     init: float = 0.25
+    keep_dtype: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -27,17 +33,36 @@ class PReLU(nn.Module):
             lambda k, s: jnp.full(s, self.init, jnp.float32),
             (self.num_parameters,),
         )
+        if self.keep_dtype:
+            a = a.astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
 
 
-def layer_norm_no_affine(x: jnp.ndarray, axes: Sequence[int], eps: float = 1e-5):
+def layer_norm_no_affine(
+    x: jnp.ndarray,
+    axes: Sequence[int],
+    eps: float = 1e-5,
+    stat_dtype: jnp.dtype | None = None,
+):
     """torch `nn.LayerNorm(normalized_shape, elementwise_affine=False)`.
 
     The reference normalizes each (batch, channel) slice over the full
-    (bins, frames) plane (`models.py:186`, `tcn.py:152`)."""
-    mean = jnp.mean(x, axis=tuple(axes), keepdims=True)
-    var = jnp.var(x, axis=tuple(axes), keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps)
+    (bins, frames) plane (`models.py:186`, `tcn.py:152`).
+
+    With `stat_dtype` set (e.g. float32 for a bfloat16 trunk), the
+    statistics and the normalization arithmetic run in that dtype but the
+    RESULT is cast back to x.dtype — the materialized tensor stays narrow
+    while the reductions keep full precision."""
+    if stat_dtype is None:
+        mean = jnp.mean(x, axis=tuple(axes), keepdims=True)
+        var = jnp.var(x, axis=tuple(axes), keepdims=True)
+        return (x - mean) / jnp.sqrt(var + eps)
+    xs = x.astype(stat_dtype)
+    mean = jnp.mean(xs, axis=tuple(axes), keepdims=True)
+    var = jnp.var(xs, axis=tuple(axes), keepdims=True)
+    import jax
+
+    return ((xs - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def same_pads(kernel: int, dilation: int) -> tuple[int, int]:

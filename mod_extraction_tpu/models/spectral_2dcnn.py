@@ -144,6 +144,17 @@ class Spectral2DCNN(nn.Module):
     # False/"none", True/"all", or "l0" (first layer only — the layer
     # whose duplicated remat passes were largest relative to its FLOPs).
     grad_barrier: bool | str = False
+    # Mel-frontend DFT implementation (ops/stft.py): "auto" (f32
+    # DFT-matmul on TPU), "dft", "rfft", or "dft_bf16" (bf16 inputs with
+    # f32 accumulation — ~0.5% power-spec noise, training-path only).
+    stft_impl: str = "auto"
+    # Activation-stream I/O dtype for the elementwise tail (LayerNorm +
+    # PReLU): "float32" (legacy — the fp32 PReLU alpha promotes every
+    # trunk activation to f32) or "compute" (keep LN/PReLU I/O in
+    # `compute_dtype`, statistics still accumulated in f32; with bf16 this
+    # halves the HBM bytes of the elementwise tail and of every backward
+    # re-read of the trunk activations).
+    act_io_dtype: str = "float32"
 
     def _channels(self):
         return list(self.out_channels) if self.out_channels else [64] * 5
@@ -176,7 +187,8 @@ class Spectral2DCNN(nn.Module):
             spec = features
         else:
             spec = mel_spectrogram(
-                x, int(self.sr), self.n_fft, self.hop_len, self.n_mels
+                x, int(self.sr), self.n_fft, self.hop_len, self.n_mels,
+                impl=self.stft_impl,
             )  # (B, in_ch, mels, frames)
         n_frames = spec.shape[-1]
 
@@ -194,11 +206,19 @@ class Spectral2DCNN(nn.Module):
         h = jnp.transpose(h, (0, 2, 3, 1))  # (B, mels, frames, C) channel-last
 
         cdtype = jnp.dtype(self.compute_dtype)
+        act_compute = self.act_io_dtype == "compute"
+        if act_compute:
+            h = h.astype(cdtype)
         for i, (out_ch, b_dil, t_dil) in enumerate(zip(chans, bin_dil, temp_dil)):
             if self.use_ln:
-                # LN statistics in fp32 for stability, then drop to the
-                # compute dtype for the MXU conv.
-                h = layer_norm_no_affine(h.astype(jnp.float32), axes=(1, 2))
+                # LN statistics in fp32 for stability; in "compute" mode
+                # the materialized result stays in the compute dtype.
+                if act_compute:
+                    h = layer_norm_no_affine(
+                        h, axes=(1, 2), stat_dtype=jnp.float32
+                    )
+                else:
+                    h = layer_norm_no_affine(h.astype(jnp.float32), axes=(1, 2))
             h = _TrunkConv(
                 features=out_ch,
                 kernel_size=self.kernel_size,
@@ -215,7 +235,7 @@ class Spectral2DCNN(nn.Module):
                 name=f"Conv_{i}",  # nn.Conv's auto-name: ckpt-compatible
             )(h)
             h = max_pool_floor(h, self.pool_size)
-            h = PReLU(out_ch)(h)
+            h = PReLU(out_ch, keep_dtype=act_compute)(h)
 
         h = jnp.mean(h.astype(jnp.float32), axis=1)  # freq mean -> (B, frames, C)
         latent = jnp.transpose(h, (0, 2, 1))  # (B, C, frames)

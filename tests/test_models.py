@@ -183,3 +183,52 @@ def test_max_pool_bwd_impls_match():
     xt = jnp.ones((1, 2, 1, 1), jnp.float32)
     gt = jax.grad(lambda a: jnp.sum(max_pool_floor(a, (2, 1))))(xt)
     np.testing.assert_allclose(np.asarray(gt).ravel(), [1.0, 1.0])
+
+
+def _act_io_model(rng, **kw):
+    model = Spectral2DCNN(
+        in_ch=2, n_samples=8192, sr=8000, n_fft=256, hop_len=64, n_mels=32,
+        kernel_size=(5, 13), out_channels=[8, 8], bin_dilations=[1, 1],
+        temp_dilations=[1, 2], pool_size=(2, 1), latent_dim=1, **kw,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 2, 8192)).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params, x
+
+
+def test_act_io_compute_is_noop_in_f32(rng):
+    """act_io_dtype="compute" with a float32 trunk only changes
+    1/sqrt -> rsqrt in the LN normalize — outputs must agree to ulp-level
+    tolerance, and params are identical (the knob adds no parameters)."""
+    m_a, p_a, x = _act_io_model(rng, compute_dtype="float32",
+                                act_io_dtype="float32")
+    m_b, p_b, _ = _act_io_model(rng, compute_dtype="float32",
+                                act_io_dtype="compute")
+    assert jax.tree.structure(p_a) == jax.tree.structure(p_b)
+    y_a, _ = m_a.apply(p_a, x)
+    y_b, _ = m_b.apply(p_a, x)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_act_io_compute_bf16_close_and_trainable(rng):
+    """bf16 activation I/O (the HBM-traffic knob): forward stays within a
+    bf16-rounding band of the legacy f32-LN path, and grads are finite."""
+    m_a, p_a, x = _act_io_model(rng, compute_dtype="bfloat16",
+                                act_io_dtype="float32")
+    m_b, _, _ = _act_io_model(rng, compute_dtype="bfloat16",
+                              act_io_dtype="compute")
+    y_a, _ = m_a.apply(p_a, x)
+    y_b, _ = m_b.apply(p_a, x)
+    # sigmoid outputs in [0,1]: absolute band ~ bf16 resolution of the
+    # pre-sigmoid logits
+    assert float(jnp.max(jnp.abs(y_a - y_b))) < 5e-2
+
+    def loss(p):
+        y, _ = m_b.apply(p, x)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(p_a)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)

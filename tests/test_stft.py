@@ -86,3 +86,31 @@ def test_dft_impl_matches_rfft(rng):
     a = np.asarray(mel_spectrogram(x, sr=16000, n_fft=512, hop=128, n_mels=64, impl="rfft"))
     b = np.asarray(mel_spectrogram(x, sr=16000, n_fft=512, hop=128, n_mels=64, impl="dft"))
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_dft_bf16_impl_close_to_rfft(rng):
+    """The bf16-input DFT (impl="dft_bf16", the training-path option) is
+    NOT rfft-exact — bf16 frames carry ~0.4% relative rounding — but the
+    LOG-mel the model consumes must stay within a small absolute band of
+    the f32 path (well under the LayerNorm/SpecAugment noise floor)."""
+    import jax.numpy as jnp
+
+    from mod_extraction_tpu.ops.stft import log_mel_spectrogram
+
+    x = rng.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    a = np.asarray(
+        log_mel_spectrogram(x, sr=44100, n_fft=1024, hop=256, n_mels=128,
+                            impl="rfft")
+    )
+    b = np.asarray(
+        log_mel_spectrogram(x, sr=44100, n_fft=1024, hop=256, n_mels=128,
+                            impl="dft_bf16")
+    )
+    assert b.dtype == np.float32  # f32 accumulation, not a bf16 output
+    d = np.abs(b - a)
+    # log compresses the ~0.5% power noise to a few 1e-3 absolute for
+    # typical bins; near-null bins (spectral cancellation) can reach a
+    # few 1e-1 in log domain — bound the envelope, not the worst null
+    assert float(np.mean(d)) < 1e-2
+    assert float(np.percentile(d, 99)) < 5e-2
+    assert float(d.max()) < 1.0
