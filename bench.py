@@ -264,9 +264,15 @@ def main():
     # future kernels can be A/B'd the same way.
     conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "lax")
     wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "xla")
-    stft_impl = _arg("--stft-impl", "BENCH_STFT_IMPL", "auto")
-    act_io_dtype = _arg("--act-io", "BENCH_ACT_IO", "float32")
-    batch_size = int(_arg("--batch", "BENCH_BATCH", "128"))
+    # Training-path mixed-precision defaults (round-4 stint 2, measured
+    # +5% end-to-end; ROUND_NOTES table): bf16-input DFT matmuls and a
+    # bf16 LN/PReLU activation stream — the same tier of decision as the
+    # round-1 bf16 conv trunk.  Eval surfaces keep the f32 frontend/LN
+    # (model defaults unchanged); shipped-r6 forward drift of these
+    # knobs: eval_lfo val/l1 0.011045 vs 0.010751 archived (+2.7% rel).
+    stft_impl = _arg("--stft-impl", "BENCH_STFT_IMPL", "dft_bf16")
+    act_io_dtype = _arg("--act-io", "BENCH_ACT_IO", "compute")
+    batch_size = int(_arg("--batch", "BENCH_BATCH", "256"))
     ours = bench_ours(
         batch_size=batch_size,
         conv_impl=conv_impl,
