@@ -68,6 +68,9 @@ def parse(outdir: str, n_steps: int = 3) -> None:
     import json
 
     if isinstance(data, bytes):
+        # tensorboard_plugin_profile returns gzip bytes on some versions
+        # and plain JSON bytes on others; OSError is gzip's "not a gzip
+        # file" signal — the plain-bytes case, not an error to hide.
         try:
             data = gzip.decompress(data)
         except OSError:
