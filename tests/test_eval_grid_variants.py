@@ -273,3 +273,57 @@ def test_em_sim_blocks_isolate_missing_effects(tmp_path, monkeypatch):
     failed = [b for b in blocks if b.startswith("FAILED")]
     assert len(failed) == 1 and "sim_phaser" in failed[0]
     assert sum(1 for b in blocks if b.startswith("TABLE")) >= 3
+
+
+def test_h160_capacity_block(monkeypatch):
+    """The LSTM-160 capacity bracket (round-4, VERDICT r3 #5 second
+    arm): SKIPPED-with-a-pointer until both checkpoints exist; once
+    present, one conditioned table + one rand table, each via its own
+    validate_many call, with the rand config carrying n_hidden=160 and a
+    RandomLFO conditioning model."""
+    import os as _os
+
+    real_exists = _os.path.exists
+    MARKERS = ("lstm_160__", "rand_baseline_160__")
+
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: False
+        if any(m in str(p) for m in MARKERS)
+        else real_exists(p),
+    )
+    blocks = _MOD.build_h160_capacity_blocks(None, None)
+    assert len(blocks) == 1 and blocks[0].startswith("SKIPPED")
+    assert "train_em_sim_chorus_h160" in blocks[0]
+
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: True
+        if any(m in str(p) for m in MARKERS)
+        else real_exists(p),
+    )
+    calls, cfgs = [], []
+
+    def fake_validate_many(variants):
+        calls.append([lb for lb, _ in variants])
+        cfgs.extend(variants)
+        return [(lb, {"esr": 0.3, "l1": 0.03}) for lb, _ in variants]
+
+    blocks = _MOD.build_h160_capacity_blocks(
+        fake_validate_many, lambda m: f"TABLE({sorted(m)})"
+    )
+    assert calls == [["h160"], ["h160 rand"]]
+    assert len(blocks) == 2
+    assert blocks[1].splitlines()[-1] == "sim_chorus h160 capacity bracket"
+    lstm_cfg = cfgs[0][1]
+    rand_cfg = cfgs[1][1]
+    for c in (lstm_cfg, rand_cfg):
+        em = c["model"]["init_args"]["effect_model"]["init_args"]
+        assert em["n_hidden"] == 160
+    assert lstm_cfg["ckpt_path"].endswith(
+        "lstm_160__lfo_2dcnn_r6__sim_chorus.npz"
+    )
+    # the rand arm conditions on a RandomLFO model, not the extractor
+    rand_lfo = rand_cfg["model"]["init_args"]["lfo_model"]
+    assert "RandomLFO" in str(rand_lfo)
+    assert rand_cfg["ckpt_path"].endswith("rand_baseline_160__sim_chorus.npz")
