@@ -327,6 +327,34 @@ REGISTRY["lstm_64__gt_mod_sig__sim_chorus2_gt"] = dict(
     ),
 )
 
+# round-4 LSTM-160 capacity bracket (VERDICT r3 #5 second arm): the
+# chorus conditioning win inside sufficient model capacity, in the
+# SHIPPED 11-19 ms sim_chorus regime that saturates LSTM-64
+REGISTRY["lstm_160__lfo_2dcnn_r6__sim_chorus"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus_h160.yml",
+    metrics_run="lstm_160__lfo_2dcnn_r6__sim_chorus",
+    parent_extractor=(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+        "interwoven_idmt_all_live_r6.npz"
+    ),
+    corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
+    notes=(
+        "Stage-2 LSTM-160 on the shipped sim chorus: tests whether the "
+        "documented LSTM-64 capacity floor (GT == rand == extractor) "
+        "lifts with 2.5x hidden state; archived in eval_em_sim.txt "
+        "'sim_chorus h160 capacity bracket'."
+    ),
+)
+REGISTRY["rand_baseline_160__sim_chorus"] = dict(
+    kind="trained",
+    train_config="configs/train_baseline_em_sim_chorus_h160.yml",
+    metrics_run="rand_baseline_160__sim_chorus",
+    corpus="data/sim_chorus (scripts/make_sim_effect_data.py)",
+    notes="RandomLFO-conditioned LSTM-160 companion baseline for the "
+    "capacity bracket.",
+)
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",
