@@ -164,9 +164,18 @@ class TBPTTEffectModelingTask:
         return params["effect"] if self.multi_params else params
 
     def _use_pallas_lstm(self) -> bool:
+        if self.lstm_impl == "pallas":
+            return jax.default_backend() == "tpu"
+        if self.lstm_impl != "auto":
+            return False
+        # auto: the fused kernel's VMEM working set scales with the
+        # hidden size and its tiling is sized for the shipped LSTM-64;
+        # n_hidden=160 (the round-4 capacity bracket) overran the 16 MB
+        # scoped-VMEM stack at compile time (20.85 MB) — larger hidden
+        # states take the lax.scan path, which XLA tiles fine.
         return (
-            self.lstm_impl in ("pallas", "auto")
-            and jax.default_backend() == "tpu"
+            jax.default_backend() == "tpu"
+            and getattr(self.effect_model, "n_hidden", 64) <= 64
         )
 
     def _em_forward_nograd(self, eff_params, x, latent, state):
