@@ -413,13 +413,30 @@ def lstm_effect_model_pallas(
 TRAIN_T_CHUNK = 64  # sized so fwd residual blocks double-buffer in VMEM
 
 
+def _train_t_chunk(hid: int, t: int) -> int:
+    """Time-chunk size for the training kernels.
+
+    The dominant VMEM residents are the saved-state blocks,
+    (t_chunk, hid, LANES) f32 each for h and c, double-buffered across
+    the grid — 2 x 2 x t_chunk*hid*128*4 bytes.  TRAIN_T_CHUNK=64 is
+    sized for the shipped hid=64 (2.1 MB per block); larger hidden
+    states must shrink the chunk or the 16 MB scoped-VMEM stack overruns
+    (hid=160 at t_chunk=64 was 20.85 MB — the round-4 h160 bracket).
+    Scale so t_chunk*hid stays at the proven 64*64 working set."""
+    if hid > 64:
+        chunk = max(8, (TRAIN_T_CHUNK * 64 // hid) // 8 * 8)
+    else:
+        chunk = TRAIN_T_CHUNK
+    return min(chunk, _round_up(t, 8))
+
+
 def _train_layouts(w_ih, w_hh, b_gates, fc_k, fc_b, x, latent, h0, c0):
     b, out_ch, t = x.shape
     lat_dim = latent.shape[1]
     in_dim = out_ch + lat_dim
     hid = w_hh.shape[0]
     n_pad = _round_up(b, LANES)
-    t_chunk = min(TRAIN_T_CHUNK, _round_up(t, 8))
+    t_chunk = _train_t_chunk(hid, t)
     t_pad = _round_up(t, t_chunk)
     in_dim_pad = _round_up(in_dim, 8)
     out_ch_pad = _round_up(out_ch, 8)

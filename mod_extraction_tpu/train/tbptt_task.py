@@ -168,14 +168,15 @@ class TBPTTEffectModelingTask:
             return jax.default_backend() == "tpu"
         if self.lstm_impl != "auto":
             return False
-        # auto: the fused kernel's VMEM working set scales with the
-        # hidden size and its tiling is sized for the shipped LSTM-64;
-        # n_hidden=160 (the round-4 capacity bracket) overran the 16 MB
-        # scoped-VMEM stack at compile time (20.85 MB) — larger hidden
-        # states take the lax.scan path, which XLA tiles fine.
+        # auto: the training kernels adapt their time-chunk to the
+        # hidden size (ops/pallas_lstm.py::_train_t_chunk) so the
+        # saved-state VMEM blocks stay inside the scoped stack; the
+        # remaining hid-scaling residents are the (4H, H) weight +
+        # accumulator blocks, comfortably resident through hid=256.
+        # Beyond that, fall back to the lax.scan path.
         return (
             jax.default_backend() == "tpu"
-            and getattr(self.effect_model, "n_hidden", 64) <= 64
+            and getattr(self.effect_model, "n_hidden", 64) <= 256
         )
 
     def _em_forward_nograd(self, eff_params, x, latent, state):

@@ -132,3 +132,43 @@ def test_pallas_lstm_multi_tile_batch(rng):
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=2e-6)
+
+
+def test_pallas_lstm_train_grads_match_autodiff_h160(rng):
+    """hid > 64 shrinks the training time-chunk (_train_t_chunk) so the
+    saved-state VMEM blocks stay inside the proven 64*64 working set —
+    the round-4 LSTM-160 capacity bracket's compile-time VMEM overrun.
+    Parity of y + all grads at hid=160 across chunk boundaries."""
+    from mod_extraction_tpu.ops.pallas_lstm import (
+        _train_t_chunk,
+        lstm_effect_model_pallas_train,
+    )
+
+    assert _train_t_chunk(160, 10_000) == 24  # 64*64/160 -> 25.6 -> 24
+    assert _train_t_chunk(64, 10_000) == 64   # shipped size unchanged
+    assert _train_t_chunk(1024, 10_000) == 8  # floor
+
+    b, t, hid = 2, 100, 160  # several 24-step chunks + padding
+    model, params, x, latent = _setup(rng, b, t, hid)
+    h0 = lstm_init_state(b, hid)
+    tgt = jnp.asarray(rng.standard_normal((b, 1, t)).astype(np.float32))
+
+    def loss_scan(p, x, lat):
+        y, _ = model.apply(p, x, lat, h0)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_pal(p, x, lat):
+        y, _ = lstm_effect_model_pallas_train(p, x, lat, h0, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_scan, argnums=(0, 1, 2))(
+        params, x, latent
+    )
+    l_pal, g_pal = jax.value_and_grad(loss_pal, argnums=(0, 1, 2))(
+        params, x, latent
+    )
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-6
+        )
