@@ -103,6 +103,36 @@ def _render(effect: str, rng, dry: np.ndarray):
             feedback=0.3, min_delay_width=0.167, width=0.5, depth=1.0,
             mix=0.9,
         )
+    if effect == "sim_chorus3":
+        # The SAME 11-19 ms chorus as sim_chorus PLUS an LFO-correlated
+        # LEVEL-modulation component (tremolo depth 0.35 driven by the
+        # same mod signal).  Rationale (round 4): the pure-delay chorus
+        # is unlearnable at practical sample-rate-LSTM sizes — a >=5 ms
+        # fractional delay needs >=220 samples of carried state, and both
+        # the LSTM-64 bracket (11-19 and 5-10 ms; GT == rand) and the
+        # LSTM-160 bracket confirm no conditioning signal can help.  Real
+        # analog (BBD) chorus pedals, like the EGFx unit behind the
+        # reference's chorus win (eval_em_unseen_effect.txt:59), modulate
+        # level/filtering alongside delay — companding and clock-filter
+        # artifacts tracking the same LFO.  sim_chorus3 makes that
+        # learnable component explicit, so phase-correct conditioning has
+        # something an LSTM-64 CAN express.
+        from mod_extraction_tpu.ops.fx import apply_tremolo
+
+        mods = []
+        for _ in range(n_pairs):
+            m = np_make_mod_signal(
+                SEG, SR, float(rng.uniform(1.6, 1.9)),
+                float(rng.uniform(0, 2 * np.pi)), "tri",
+            )
+            mods.append(make_quasi_periodic(rng, m))
+        mod = jnp.asarray(np.stack(mods).astype(np.float32))
+        wet = apply_flanger_chorus(
+            x, mod, SR, max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
+            feedback=0.3, min_delay_width=0.367, width=0.8, depth=1.0,
+            mix=0.9,
+        )
+        return apply_tremolo(wet, mod, mix=0.35)
     if effect in ("sim_flanger", "sim_flanger2"):
         mods = []
         for _ in range(n_pairs):
@@ -139,7 +169,8 @@ def _render(effect: str, rng, dry: np.ndarray):
 
 
 ALL_EFFECTS = (
-    "sim_chorus", "sim_chorus2", "sim_flanger", "sim_flanger2", "sim_phaser"
+    "sim_chorus", "sim_chorus2", "sim_chorus3", "sim_flanger",
+    "sim_flanger2", "sim_phaser"
 )
 
 # Fixed per-effect corpus seeds.  These pin the EXACT shipped corpora:
@@ -151,6 +182,7 @@ ALL_EFFECTS = (
 EFFECT_SEEDS = {
     "sim_chorus": 7,
     "sim_chorus2": 11,  # new in round 4 (short-delay regime)
+    "sim_chorus3": 13,  # new in round 4 (chorus + level-mod component)
     "sim_flanger": 8,
     "sim_flanger2": 7,
     "sim_phaser": 9,

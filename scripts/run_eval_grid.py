@@ -234,6 +234,9 @@ EM_SIM_EFFECTS = [
     ("sim_chorus", "configs/models/baseline_sim_chorus.yml"),
     # round-4 short-delay (5-10 ms) regime, same LFO band as sim_chorus
     ("sim_chorus2", "configs/models/baseline_sim_chorus.yml"),
+    # round-4 chorus + LFO-correlated level modulation: the chorus-family
+    # regime INSIDE LSTM-64 capacity (make_sim_effect_data.py rationale)
+    ("sim_chorus3", "configs/models/baseline_sim_chorus.yml"),
     ("sim_flanger", "configs/models/baseline_sim_flanger.yml"),
     # same LFO band as sim_flanger (the baseline band config is shared);
     # sharper, fully-wet comb — the phase-critical regime

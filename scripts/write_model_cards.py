@@ -355,6 +355,33 @@ REGISTRY["rand_baseline_160__sim_chorus"] = dict(
     "capacity bracket.",
 )
 
+# round-4 sim_chorus3: chorus + LFO-correlated level modulation — the
+# chorus-family regime whose learnable component is inside LSTM-64
+# capacity (make_sim_effect_data.py::sim_chorus3 rationale)
+REGISTRY["lstm_64__lfo_2dcnn_r6__sim_chorus3"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus3.yml",
+    metrics_run="lstm_64__lfo_2dcnn_r6__sim_chorus3",
+    parent_extractor=(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+        "interwoven_idmt_all_live_r6.npz"
+    ),
+    corpus="data/sim_chorus3 (scripts/make_sim_effect_data.py, chorus + "
+    "level-mod)",
+    notes=(
+        "Stage-2 LSTM-64 on the BBD-style chorus (delay + companding-"
+        "like level modulation on one LFO): the conditioning-win arm of "
+        "the chorus question; archived in eval_em_sim.txt."
+    ),
+)
+REGISTRY["rand_baseline__sim_chorus3"] = dict(
+    kind="trained",
+    train_config="configs/train_baseline_em_sim_chorus3.yml",
+    metrics_run="rand_baseline__sim_chorus3",
+    corpus="data/sim_chorus3 (scripts/make_sim_effect_data.py)",
+    notes="RandomLFO-conditioned LSTM-64 baseline for sim_chorus3.",
+)
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",

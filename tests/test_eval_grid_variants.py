@@ -132,7 +132,7 @@ def test_em_sim_lstm_ckpts_follow_base_config():
     pairs = list(_MOD._em_sim_variants(cfg))
     labels = [label for label, _ in pairs]
     effects = (
-        "sim_chorus", "sim_chorus2", "sim_flanger", "sim_flanger2",
+        "sim_chorus", "sim_chorus2", "sim_chorus3", "sim_flanger", "sim_flanger2",
         "sim_phaser",
     )
     assert labels == [
