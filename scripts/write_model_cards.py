@@ -300,8 +300,10 @@ REGISTRY["lstm_64__lfo_2dcnn_r6__sim_chorus2"] = dict(
     "short-delay 5-10 ms regime)",
     notes=(
         "Stage-2 LSTM-64 on the round-4 short-delay sim chorus (fresh "
-        "100-epoch run): the regime inside LSTM-64 capacity where a "
-        "chorus conditioning win is demonstrable (VERDICT r3 #5)."
+        "100-epoch run).  RESULT: no conditioning separation (esr "
+        "0.4237 vs rand 0.4200 vs GT 0.4195) — 5-10 ms is still beyond "
+        "LSTM-64 delay-line capacity; see ROUND_NOTES round 4 and the "
+        "sim_chorus3 / h160 arms."
     ),
 )
 REGISTRY["rand_baseline__sim_chorus2"] = dict(
