@@ -32,6 +32,15 @@ def bench_ours(
     stft_impl: str = "auto",
     act_io_dtype: str = "float32",
 ) -> float:
+    """Stage-1 train-step throughput (audio-s/s/chip) at the given knobs.
+
+    NOTE (defaults divergence, deliberate): these FUNCTION defaults are
+    the conservative f32-frontend/batch-128 config so programmatic A/B
+    callers measure a knob against the round-3 control unless they opt
+    in; `main()` overrides them with the measured end-to-end winner
+    (batch 256 + dft_bf16 + act_io=compute) for the driver's headline
+    line, and records every knob in the JSON so the two are never
+    conflated."""
     import jax
     import optax
 
@@ -192,47 +201,143 @@ def bench_reference_torch_cpu(n_reps: int = 5) -> float:
     reference's end-to-end throughput.  NOT extrapolated from a
     sub-second slice — the loop is timed at the real per-example length,
     so per-iteration overheads are fully included."""
-    import torch as tr
-
     sr = 44100.0
-    d = 485
-
-    def render(b: int, t: int) -> float:
-        x = tr.rand(b, 1, t) * 0.5
-        mod = tr.rand(b, 1, t)
-        feedback = tr.full((b, 1), 0.3)
-        depth = tr.full((b, 1), 0.8)
-        buf = tr.zeros(b, 1, d)
-        out = tr.zeros(b, 1, t)
-        delay = mod * 440.0 + 20.0
-        write_idx_all = tr.arange(t) % d
-        read_idx_all = (write_idx_all.view(1, 1, -1) - delay + d) % d
-        frac_all = read_idx_all - tr.floor(read_idx_all)
-        prev_all = tr.floor(read_idx_all).long()
-        next_all = (prev_all + 1) % d
-        t0 = time.perf_counter()
-        with tr.no_grad():
-            for i in range(t):
-                prev_v = tr.gather(
-                    buf, -1, prev_all[:, :, i].unsqueeze(-1)
-                ).squeeze(-1)
-                next_v = tr.gather(
-                    buf, -1, next_all[:, :, i].unsqueeze(-1)
-                ).squeeze(-1)
-                interp = (
-                    frac_all[:, :, i] * next_v + (1 - frac_all[:, :, i]) * prev_v
-                )
-                buf[:, :, write_idx_all[i]] = x[:, :, i] + feedback * interp
-                out[:, :, i] = x[:, :, i] + depth * interp
-        return time.perf_counter() - t0
-
     b, t = 1000, 88200  # the reference's batch-1000 render of 2 s chunks
-    render(b, 11025)  # warmup (allocator, thread pools)
+    _torch_flanger_render(b, 11025)  # warmup (allocator, thread pools)
     # median-of-n per-rep rate: this host is a 1-vCPU VM whose torch
     # throughput jitters ~25% rep to rep; the median is the robust
     # honest estimate (mean is dragged by descheduling stalls)
-    rates = sorted(b * t / sr / render(b, t) for _ in range(n_reps))
+    rates = sorted(
+        b * t / sr / _torch_flanger_render(b, t) for _ in range(n_reps)
+    )
     return rates[len(rates) // 2]
+
+
+def _torch_flanger_render(b: int, t: int) -> float:
+    """Reference-style per-sample flanger loop (`fx.py:104-115` shape):
+    per-sample gather/lerp/feedback-write over a (b, 1, 485) delay buf.
+    Returns the loop's elapsed seconds (index precompute excluded)."""
+    import torch as tr
+
+    d = 485
+    x = tr.rand(b, 1, t) * 0.5
+    mod = tr.rand(b, 1, t)
+    feedback = tr.full((b, 1), 0.3)
+    depth = tr.full((b, 1), 0.8)
+    buf = tr.zeros(b, 1, d)
+    out = tr.zeros(b, 1, t)
+    delay = mod * 440.0 + 20.0
+    write_idx_all = tr.arange(t) % d
+    read_idx_all = (write_idx_all.view(1, 1, -1) - delay + d) % d
+    frac_all = read_idx_all - tr.floor(read_idx_all)
+    prev_all = tr.floor(read_idx_all).long()
+    next_all = (prev_all + 1) % d
+    t0 = time.perf_counter()
+    with tr.no_grad():
+        for i in range(t):
+            prev_v = tr.gather(
+                buf, -1, prev_all[:, :, i].unsqueeze(-1)
+            ).squeeze(-1)
+            next_v = tr.gather(
+                buf, -1, next_all[:, :, i].unsqueeze(-1)
+            ).squeeze(-1)
+            interp = (
+                frac_all[:, :, i] * next_v + (1 - frac_all[:, :, i]) * prev_v
+            )
+            buf[:, :, write_idx_all[i]] = x[:, :, i] + feedback * interp
+            out[:, :, i] = x[:, :, i] + depth * interp
+    return time.perf_counter() - t0
+
+
+def bench_tbptt_reference_torch_cpu(n_reps: int = 3) -> float:
+    """Reference-equivalent stage-2 (TBPTT) loop on host CPU (torch),
+    matching what `bench_tbptt` measures on-device: per-batch flanger
+    render (the host per-sample loop, as in the FlangerCPU data module
+    `data_modules.py:419-458`) + the TBPTT hot loop
+    (`lightning.py:340-384`): 1024-sample LSTM-64 warmup with hidden
+    detach, then 85 chunks of 1024 samples, each doing LSTM forward →
+    L1 loss → backward → AdamW step → hidden detach.  Batch 32 (the
+    shipped stage-2 config).  The frozen-extractor forward
+    (`lightning.py:314-318`) is EXCLUDED from the baseline — our bench
+    includes it on-device, so the omission is conservative (favors the
+    baseline).  Returns audio-s/s (median of n_reps)."""
+    import torch as tr
+
+    sr = 44100.0
+    b, t, chunk, hid = 32, 88200, 1024, 64
+    lstm = tr.nn.LSTM(2, hid, batch_first=True)
+    fc = tr.nn.Linear(hid, 1)
+    opt = tr.optim.AdamW(
+        list(lstm.parameters()) + list(fc.parameters()),
+        lr=1e-4,
+        betas=(0.8, 0.99),
+    )
+
+    def tbptt_pass() -> float:
+        t_render = _torch_flanger_render(b, t)
+        x = tr.rand(b, t, 2)  # [latent; dry] features, audio rate
+        wet = tr.rand(b, t, 1)
+        t0 = time.perf_counter()
+        with tr.no_grad():  # warmup chunk (reference: fwd, detach, zero)
+            _, hc = lstm(x[:, :chunk])
+        h = tuple(s.detach() for s in hc)
+        n_chunks = (t - chunk) // chunk  # 85 updates per 2 s batch
+        for i in range(1, 1 + n_chunks):
+            seg = x[:, i * chunk : (i + 1) * chunk]
+            y, hc = lstm(seg, h)
+            y_hat = tr.tanh(fc(y) + seg[:, :, 1:])
+            loss = tr.nn.functional.l1_loss(
+                y_hat, wet[:, i * chunk : (i + 1) * chunk]
+            )
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+            h = tuple(s.detach() for s in hc)
+        return t_render + (time.perf_counter() - t0)
+
+    tbptt_pass()  # warmup rep
+    rates = sorted(b * t / sr / tbptt_pass() for _ in range(n_reps))
+    return rates[len(rates) // 2]
+
+
+def train_step_model_flops(
+    batch_size: int,
+    n_samples: int = 88200,
+    hop_len: int = 256,
+    n_fft: int = 1024,
+    n_mels: int = 256,
+    channels: tuple = (2, 64, 64, 64, 64, 64, 64),
+    kernel: tuple = (5, 13),
+    pool_h: int = 2,
+) -> float:
+    """Analytic model FLOPs for one stage-1 train step (paper config).
+
+    Counts the MXU-relevant terms: conv trunk fwd + dgrad + wgrad (each
+    the same MAC count for 'same'-padded convs; 2 FLOPs/MAC), the
+    frontend DFT-as-matmul (fwd only — no parameters and no grad w.r.t.
+    audio, so the backward stops at conv L0's wgrad), the mel
+    projection, and the 1x1 head (fwd+bwd).  Elementwise/LN/loss/adam
+    FLOPs are excluded (VPU-side, ~irrelevant to MXU utilization).
+    Used for the bench JSON's "mfu" field: flops / step_time / peak."""
+    frames = n_samples // hop_len + 1
+    kh, kw = kernel
+    mels = n_mels
+    conv_macs = 0
+    for cin, cout in zip(channels[:-1], channels[1:]):
+        conv_macs += cin * cout * kh * kw * mels * frames
+        mels //= pool_h
+    conv_flops = 3 * 2 * conv_macs  # fwd + dgrad + wgrad
+    bins = n_fft // 2 + 1
+    dft_flops = 2 * (2 * 2 * frames * n_fft * bins)  # 2 ch x (re+im)
+    mel_flops = 2 * (2 * frames * bins * n_mels)
+    head_flops = 3 * 2 * (channels[-1] * frames)  # 1x1 conv fwd+bwd
+    return float(batch_size) * (
+        conv_flops + dft_flops + mel_flops + head_flops
+    )
+
+
+# v5e (TPU v5 lite) bf16 peak; override for other chips.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
 
 
 def _arg(flag: str, env: str, default: str) -> str:
@@ -246,13 +351,21 @@ def main():
         # Stage-2 throughput gate (recorded in ROUND_NOTES each round);
         # the driver's plain `python bench.py` stays one JSON line.
         tb = bench_tbptt()
+        try:
+            tb_ref = bench_tbptt_reference_torch_cpu()
+        except Exception:
+            tb_ref = float("nan")
+        tb_vs = tb / tb_ref if tb_ref == tb_ref and tb_ref > 0 else None
         print(
             json.dumps(
                 {
                     "metric": "tbptt_train_throughput",
                     "value": round(tb, 2),
                     "unit": "audio_sec/sec/chip",
-                    "vs_baseline": None,
+                    "vs_baseline": round(tb_vs, 2) if tb_vs else None,
+                    "baseline_value": (
+                        round(tb_ref, 2) if tb_ref == tb_ref else None
+                    ),
                 }
             )
         )
@@ -286,6 +399,11 @@ def main():
     except Exception:
         ref = float("nan")
     vs = ours / ref if ref == ref and ref > 0 else None
+    # MFU: analytic model FLOPs per step over measured step time over
+    # chip peak.  sec/step follows exactly from the rate: rate =
+    # batch * (n_samples/sr) / sec_per_step.
+    sec_per_step = batch_size * 2.0 / ours
+    mfu = train_step_model_flops(batch_size) / sec_per_step / PEAK_FLOPS
     print(
         json.dumps(
             {
@@ -293,6 +411,7 @@ def main():
                 "value": round(ours, 2),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "mfu": round(mfu, 4),
                 # the ratio's denominator, so BENCH_rN swings decompose
                 # into numerator vs baseline jitter (VERDICT r3 weak #2)
                 "baseline_value": round(ref, 2) if ref == ref else None,

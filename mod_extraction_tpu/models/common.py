@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -60,8 +61,6 @@ def layer_norm_no_affine(
     xs = x.astype(stat_dtype)
     mean = jnp.mean(xs, axis=tuple(axes), keepdims=True)
     var = jnp.var(xs, axis=tuple(axes), keepdims=True)
-    import jax
-
     return ((xs - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 

@@ -18,9 +18,19 @@ VMEM state persists across chunks; the incoming (h0, c0) is loaded at
 chunk 0 and the final state is written at the last chunk (streaming /
 TBPTT-carry correct).
 
-Used on the no-gradient paths (validation full-sequence forward, TBPTT
-warmup, streaming inference); training chunks keep the scan so autodiff
-applies.  Parity vs the scan is tested in interpret mode and on device.
+Two kernel families live here:
+
+* `lstm_effect_forward` (this kernel) — the no-gradient paths:
+  validation full-sequence forward, TBPTT warmup, streaming inference.
+* the custom-VJP TRAINING kernels (`_lstm_train`, further down) — the
+  TBPTT default (`train/tbptt_task.py`, `lstm_impl="auto"` resolves to
+  them for hid<=256): the forward kernel stashes per-step (h, c, gate)
+  tensors and the backward kernel walks time in reverse entirely in
+  VMEM, ~17x faster than differentiating the scan (ROUND_NOTES r4).
+
+Parity vs the scan (fwd, loss, and grads for the training kernels) is
+tested in interpret mode and on the real chip
+(`scripts/tpu_parity_gate.py`).
 """
 
 from __future__ import annotations

@@ -165,6 +165,16 @@ class TBPTTEffectModelingTask:
 
     def _use_pallas_lstm(self) -> bool:
         if self.lstm_impl == "pallas":
+            # Same hid cap as the auto path (see below): explicit
+            # "pallas" must not opt a hid>256 config into a kernel
+            # regime with no grad-parity coverage.
+            n_hid = getattr(self.effect_model, "n_hidden", 64)
+            if n_hid > 256:
+                raise ValueError(
+                    f"lstm_impl='pallas' requires n_hidden<=256 (got "
+                    f"{n_hid}); the training kernels' VMEM tiling is "
+                    "only validated to 256 — use lstm_impl='scan'."
+                )
             return jax.default_backend() == "tpu"
         if self.lstm_impl != "auto":
             return False
