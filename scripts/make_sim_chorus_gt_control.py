@@ -53,6 +53,8 @@ def render_split(
     batch: int = 32,
     min_delay_width: float = 0.367,
     width: float = 0.8,
+    delay_mix: float = 0.9,
+    trem_mix: float = 0.0,
 ) -> None:
     import jax.numpy as jnp
 
@@ -61,7 +63,7 @@ def render_split(
         np_make_mod_signal,
     )
     from mod_extraction_tpu.data.wav import wav_read, wav_write
-    from mod_extraction_tpu.ops.fx import apply_flanger_chorus
+    from mod_extraction_tpu.ops.fx import apply_flanger_chorus, apply_tremolo
 
     files = sorted(
         os.path.join(src_dir, f)
@@ -88,14 +90,16 @@ def render_split(
             rates.append(rate)
         dry = np.stack(drys)[:, None, :]
         mod = np.stack(mods).astype(np.float32)
-        wet = np.asarray(
-            apply_flanger_chorus(
-                jnp.asarray(dry), jnp.asarray(mod), SR,
-                max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
-                feedback=0.3, min_delay_width=min_delay_width, width=width,
-                depth=1.0, mix=0.9,
-            )
+        wet_j = apply_flanger_chorus(
+            jnp.asarray(dry), jnp.asarray(mod), SR,
+            max_min_delay_ms=30.0, max_lfo_delay_ms=10.0,
+            feedback=0.3, min_delay_width=min_delay_width, width=width,
+            depth=1.0, mix=delay_mix,
         )
+        if trem_mix > 0.0:
+            # level-mod regime (chorus4): same LFO drives the gain
+            wet_j = apply_tremolo(wet_j, jnp.asarray(mod), mix=trem_mix)
+        wet = np.asarray(wet_j)
         mod_frames = mod[:, :: MOD_SIG_DIVISOR]
         for i in range(n):
             stem = os.path.join(out_dir, f"pair_{done + i:03d}")
@@ -113,24 +117,28 @@ def render_split(
                     "min_delay_width": min_delay_width,
                     "width": width,
                     "depth": 1.0,
-                    "mix": 0.9,
+                    "mix": delay_mix,
+                    "trem_mix": trem_mix,
                 },
             )
         done += n
         print(f"{out_dir}: {done}/{n_examples}")
 
 
-# (min_delay_width, width, default out dir, corpus seed) per regime;
-# delay sweep = 10*width*mod + 30*min_delay_width ms
+# (min_delay_width, width, default out dir, corpus seed, delay_mix,
+# trem_mix) per regime; delay sweep = 10*width*mod + 30*min_delay_width ms
 REGIMES = {
-    "chorus": (0.367, 0.8, "data/sim_chorus_gt", 1007),   # 11-19 ms
-    "chorus2": (0.167, 0.5, "data/sim_chorus2_gt", 1013),  # 5-10 ms
+    "chorus": (0.367, 0.8, "data/sim_chorus_gt", 1007, 0.9, 0.0),   # 11-19 ms
+    "chorus2": (0.167, 0.5, "data/sim_chorus2_gt", 1013, 0.9, 0.0),  # 5-10 ms
+    # round 5: level-mod-dominant regime (delay mix 0.35 + tremolo 0.9
+    # on the same LFO — make_sim_effect_data.py::sim_chorus4 rationale)
+    "chorus4": (0.367, 0.8, "data/sim_chorus4_gt", 1019, 0.35, 0.9),
 }
 
 
 def main(argv) -> None:
     regime = _opt(argv, "--regime", "chorus")
-    mdw, width, out_default, seed = REGIMES[regime]
+    mdw, width, out_default, seed, delay_mix, trem_mix = REGIMES[regime]
     out_root = _opt(argv, "--out", out_default)
     n_train = _opt(argv, "--n-train", 256, int)
     n_val = _opt(argv, "--n-val", 96, int)
@@ -141,9 +149,11 @@ def main(argv) -> None:
     # draws) is what must match the shipped corpus
     rng = np.random.default_rng(seed)
     render_split(rng, src_train, os.path.join(out_root, "train"), n_train,
-                 n_samples, min_delay_width=mdw, width=width)
+                 n_samples, min_delay_width=mdw, width=width,
+                 delay_mix=delay_mix, trem_mix=trem_mix)
     render_split(rng, src_val, os.path.join(out_root, "val"), n_val,
-                 n_samples, min_delay_width=mdw, width=width)
+                 n_samples, min_delay_width=mdw, width=width,
+                 delay_mix=delay_mix, trem_mix=trem_mix)
 
 
 if __name__ == "__main__":

@@ -237,6 +237,10 @@ EM_SIM_EFFECTS = [
     # round-4 chorus + LFO-correlated level modulation: the chorus-family
     # regime INSIDE LSTM-64 capacity (make_sim_effect_data.py rationale)
     ("sim_chorus3", "configs/models/baseline_sim_chorus.yml"),
+    # round-5 level-mod-DOMINANT chorus (delay mix 0.35, tremolo 0.9):
+    # the expressible share carries most of the wet power, so the
+    # conditioned/rand ratio is no longer capped by the delay floor
+    ("sim_chorus4", "configs/models/baseline_sim_chorus.yml"),
     ("sim_flanger", "configs/models/baseline_sim_flanger.yml"),
     # same LFO band as sim_flanger (the baseline band config is shared);
     # sharper, fully-wet comb — the phase-critical regime
@@ -408,6 +412,15 @@ def build_gt_control_blocks(validate_many, table):
             "models/lstm_64__gt_mod_sig__sim_chorus2_gt.npz",
             "data/sim_chorus2_gt/val",
             "models/rand_baseline__sim_chorus2.npz",
+        ),
+        # round-5 level-mod-dominant regime: GT must sit clearly below
+        # rand here (the ceiling of the conditioning bracket)
+        (
+            "sim_chorus4",
+            "train_em_sim_chorus4_gtctrl.yml",
+            "models/lstm_64__gt_mod_sig__sim_chorus4_gt.npz",
+            "data/sim_chorus4_gt/val",
+            "models/rand_baseline__sim_chorus4.npz",
         ),
     ]
     blocks = []
