@@ -513,6 +513,59 @@ def build_h160_capacity_blocks(validate_many, table):
     return blocks
 
 
+def build_chorus3_s2_blocks(cfg, validate_many, table):
+    """Round-5 seed replication of the sim_chorus3 separation (VERDICT
+    r4 next #6): the r4 pair's ~0.0085-esr gap rests on single runs of
+    the same magnitude as observed best-val epoch variance.  This block
+    evaluates the seed-45 re-run of the exact r4 recipe under the SAME
+    protocol as the main sim_chorus3 block (eval_em_sim.yml base, 256
+    val examples, seed 47), so the two seeds are directly comparable;
+    the separation is load-bearing only if both show conditioned < rand."""
+    import copy
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    lstm_ckpt = "models/lstm_64__lfo_2dcnn_r6__sim_chorus3_s2.npz"
+    rand_ckpt = "models/rand_baseline__sim_chorus3_s2.npz"
+    missing = [p for p in (lstm_ckpt, rand_ckpt) if not os.path.exists(p)]
+    if missing:
+        return [
+            "SKIPPED (sim_chorus3 seed-2 replication not trained): "
+            + "; ".join(missing)
+            + " — see configs/train_em_sim_chorus3_s2.yml\n"
+        ]
+    blocks = []
+    lstm = copy.deepcopy(cfg)
+    da = lstm["data"]["init_args"]
+    for k in ("dry_train_dir", "dry_val_dir"):
+        da[k] = "data/sim_chorus3/val/dry"
+    for k in ("wet_train_dir", "wet_val_dir"):
+        da[k] = "data/sim_chorus3/val/wet"
+    rand = copy.deepcopy(lstm)
+    lstm["ckpt_path"] = lstm_ckpt
+    rand["ckpt_path"] = rand_ckpt
+    ma = rand["model"]["init_args"]
+    ma["lfo_model"] = load_yaml_with_includes(
+        "configs/models/baseline_sim_chorus.yml"
+    )
+    ma.pop("lfo_model_weights_path", None)
+    ma["model_smooth_n_frames"] = 0
+    ma["should_stretch"] = False
+    ma["discard_invalid_lfos"] = False
+    try:
+        lstm_metrics = validate_many([("c3s2", lstm)])[0][1]
+        rand_metrics = validate_many([("c3s2 rand", rand)])[0][1]
+        blocks.append(table(lstm_metrics))
+        blocks.append(
+            f"{table(rand_metrics)}\nsim_chorus3 seed-2 replication\n"
+        )
+    except Exception:
+        blocks.append(
+            f"FAILED (sim_chorus3 s2):\n{traceback.format_exc()}"
+        )
+    return blocks
+
+
 def build_em_sim_blocks(cfg, validate_many, table):
     """Reference-layout em-sim archive blocks (lstm table, rand table,
     effect label — `eval_em_unseen_effect.txt` layout) with PER-EFFECT
@@ -647,6 +700,9 @@ if __name__ == "__main__":
                 blocks.extend(build_gt_control_blocks(validate_many, table))
                 blocks.extend(
                     build_h160_capacity_blocks(validate_many, table)
+                )
+                blocks.extend(
+                    build_chorus3_s2_blocks(cfg, validate_many, table)
                 )
             else:
                 if rand_suite:

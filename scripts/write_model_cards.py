@@ -384,6 +384,79 @@ REGISTRY["rand_baseline__sim_chorus3"] = dict(
     notes="RandomLFO-conditioned LSTM-64 baseline for sim_chorus3.",
 )
 
+# round-5 sim_chorus4: the level-mod-DOMINANT chorus regime the round-4
+# five-bracket analysis prescribes (delay mix 0.35 + tremolo 0.9 on one
+# LFO — make_sim_effect_data.py::sim_chorus4 rationale)
+REGISTRY["lstm_64__lfo_2dcnn_r6__sim_chorus4"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus4.yml",
+    metrics_run="lstm_64__lfo_2dcnn_r6__sim_chorus4",
+    parent_extractor=(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+        "interwoven_idmt_all_live_r6.npz"
+    ),
+    corpus="data/sim_chorus4 (scripts/make_sim_effect_data.py, delay "
+    "mix 0.35 + level-mod 0.9)",
+    notes=(
+        "Stage-2 LSTM-64 on the level-mod-dominant chorus: the "
+        "expressible component carries most of the wet power, so the "
+        "conditioned/rand esr ratio is no longer capped by the "
+        "structural delay floor; archived in eval_em_sim.txt."
+    ),
+)
+REGISTRY["rand_baseline__sim_chorus4"] = dict(
+    kind="trained",
+    train_config="configs/train_baseline_em_sim_chorus4.yml",
+    metrics_run="rand_baseline__sim_chorus4",
+    corpus="data/sim_chorus4 (scripts/make_sim_effect_data.py)",
+    notes="RandomLFO-conditioned LSTM-64 baseline for sim_chorus4.",
+)
+REGISTRY["lstm_64__gt_mod_sig__sim_chorus4_gt"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus4_gtctrl.yml",
+    metrics_run="lstm_64__gt_mod_sig__sim_chorus4_gt",
+    corpus="data/sim_chorus4_gt (scripts/make_sim_chorus_gt_control.py "
+    "--regime chorus4)",
+    notes=(
+        "Ground-truth-conditioned ceiling of the sim_chorus4 bracket; "
+        "must sit clearly below rand in the level-mod-dominant regime."
+    ),
+)
+# round-5 seed replication of the sim_chorus3 separation (same corpus,
+# seed 45): the separation is load-bearing only if both seeds agree
+REGISTRY["lstm_64__lfo_2dcnn_r6__sim_chorus3_s2"] = dict(
+    kind="trained",
+    train_config="configs/train_em_sim_chorus3_s2.yml",
+    metrics_run="lstm_64__lfo_2dcnn_r6__sim_chorus3_s2",
+    parent_extractor=(
+        "models/lfo_2dcnn_io_sa_25_25_no_ch_ln__"
+        "interwoven_idmt_all_live_r6.npz"
+    ),
+    corpus="data/sim_chorus3 (scripts/make_sim_effect_data.py)",
+    notes="Seed-2 replication of the chorus3 conditioned arm.",
+)
+REGISTRY["rand_baseline__sim_chorus3_s2"] = dict(
+    kind="trained",
+    train_config="configs/train_baseline_em_sim_chorus3_s2.yml",
+    metrics_run="rand_baseline__sim_chorus3_s2",
+    corpus="data/sim_chorus3 (scripts/make_sim_effect_data.py)",
+    notes="Seed-2 replication of the chorus3 rand-baseline arm.",
+)
+# round-5 bf16-knob training validation: the exact r6 recipe with
+# stft_impl=dft_bf16 + act_io_dtype=compute during training
+REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6b16"] = dict(
+    kind="trained",
+    train_config="configs/train_lfo_interwoven_all_live_r6b16.yml",
+    metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6b16",
+    corpus="data/idmt_4 (live interwoven render)",
+    notes=(
+        "Knob-validation twin of the r6 extractor (same seed/warm "
+        "start/schedule, bf16 frontend + activation-stream knobs on "
+        "during training); decides whether the bench knobs are "
+        "training-clean (VERDICT r4 next #3)."
+    ),
+)
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",

@@ -132,8 +132,8 @@ def test_em_sim_lstm_ckpts_follow_base_config():
     pairs = list(_MOD._em_sim_variants(cfg))
     labels = [label for label, _ in pairs]
     effects = (
-        "sim_chorus", "sim_chorus2", "sim_chorus3", "sim_flanger", "sim_flanger2",
-        "sim_phaser",
+        "sim_chorus", "sim_chorus2", "sim_chorus3", "sim_chorus4",
+        "sim_flanger", "sim_flanger2", "sim_phaser",
     )
     assert labels == [
         f"{eff}__{kind}" for eff in effects for kind in ("lstm", "rand")
@@ -158,7 +158,10 @@ def test_gt_control_block(monkeypatch):
     import os as _os
 
     real_exists = _os.path.exists
-    GT_MARKERS = ("sim_chorus_gt", "sim_chorus2_gt", "rand_baseline__sim_chorus")
+    GT_MARKERS = (
+        "sim_chorus_gt", "sim_chorus2_gt", "sim_chorus4_gt",
+        "rand_baseline__sim_chorus",
+    )
 
     monkeypatch.setattr(
         _os.path, "exists",
@@ -167,9 +170,10 @@ def test_gt_control_block(monkeypatch):
         else real_exists(p),
     )
     blocks = _MOD.build_gt_control_blocks(None, None)
-    assert len(blocks) == 2 and all(b.startswith("SKIPPED") for b in blocks)
+    assert len(blocks) == 3 and all(b.startswith("SKIPPED") for b in blocks)
     assert "train_em_sim_chorus_gtctrl" in blocks[0]
     assert "train_em_sim_chorus2_gtctrl" in blocks[1]
+    assert "train_em_sim_chorus4_gtctrl" in blocks[2]
 
     monkeypatch.setattr(
         _os.path, "exists",
@@ -186,10 +190,11 @@ def test_gt_control_block(monkeypatch):
     blocks = _MOD.build_gt_control_blocks(
         fake_validate_many, lambda m: f"TABLE({sorted(m)})"
     )
-    assert calls == [["gt"], ["rand"], ["gt"], ["rand"]]
-    assert len(blocks) == 4
+    assert calls == [["gt"], ["rand"]] * 3
+    assert len(blocks) == 6
     assert blocks[1].splitlines()[-1] == "sim_chorus gt control"
     assert blocks[3].splitlines()[-1] == "sim_chorus2 gt control"
+    assert blocks[5].splitlines()[-1] == "sim_chorus4 gt control"
     cfgs = []
 
     def grab_validate_many(variants):
@@ -197,15 +202,17 @@ def test_gt_control_block(monkeypatch):
         return [(lb, {}) for lb, _ in variants]
 
     _MOD.build_gt_control_blocks(grab_validate_many, lambda m: "T")
-    assert [lb for lb, _ in cfgs] == ["gt", "rand", "gt", "rand"]
-    gt1, rand1, gt2, rand2 = (c for _, c in cfgs)
-    for gt in (gt1, gt2):
+    assert [lb for lb, _ in cfgs] == ["gt", "rand"] * 3
+    gt1, rand1, gt2, rand2, gt4, rand4 = (c for _, c in cfgs)
+    for gt in (gt1, gt2, gt4):
         assert gt["model"]["init_args"]["lfo_model"] is None
     assert gt1["ckpt_path"].endswith("gt_mod_sig__sim_chorus_gt.npz")
     assert gt2["ckpt_path"].endswith("gt_mod_sig__sim_chorus2_gt.npz")
+    assert gt4["ckpt_path"].endswith("gt_mod_sig__sim_chorus4_gt.npz")
     assert rand1["ckpt_path"].endswith("rand_baseline__sim_chorus.npz")
     assert rand2["ckpt_path"].endswith("rand_baseline__sim_chorus2.npz")
-    for rand in (rand1, rand2):
+    assert rand4["ckpt_path"].endswith("rand_baseline__sim_chorus4.npz")
+    for rand in (rand1, rand2, rand4):
         assert rand["model"]["init_args"]["lfo_model"]["class_path"].endswith(
             "RandomLFO"
         )
@@ -327,3 +334,59 @@ def test_h160_capacity_block(monkeypatch):
     rand_lfo = rand_cfg["model"]["init_args"]["lfo_model"]
     assert "RandomLFO" in str(rand_lfo)
     assert rand_cfg["ckpt_path"].endswith("rand_baseline_160__sim_chorus.npz")
+
+
+def test_chorus3_s2_block(monkeypatch):
+    """The round-5 seed-replication block: SKIPPED with a config pointer
+    until both s2 checkpoints exist; once present, one lstm table + one
+    rand table under the SAME eval protocol as the main chorus3 block
+    (eval_em_sim.yml base, sim_chorus3 val corpus), the rand arm
+    switched to the RandomLFO conditioning with post-processing off."""
+    import os as _os
+
+    from mod_extraction_tpu.cli import load_yaml_with_includes
+
+    cfg = load_yaml_with_includes("eval_em_sim.yml")
+    real_exists = _os.path.exists
+    MARKERS = ("sim_chorus3_s2.npz",)
+
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: False
+        if any(m in str(p) for m in MARKERS)
+        else real_exists(p),
+    )
+    blocks = _MOD.build_chorus3_s2_blocks(None, None, None)
+    assert len(blocks) == 1 and blocks[0].startswith("SKIPPED")
+    assert "train_em_sim_chorus3_s2" in blocks[0]
+
+    monkeypatch.setattr(
+        _os.path, "exists",
+        lambda p: True
+        if any(m in str(p) for m in MARKERS)
+        else real_exists(p),
+    )
+    calls, cfgs = [], []
+
+    def fake_validate_many(variants):
+        calls.append([lb for lb, _ in variants])
+        cfgs.extend(variants)
+        return [(lb, {"esr": 0.4, "l1": 0.04}) for lb, _ in variants]
+
+    blocks = _MOD.build_chorus3_s2_blocks(
+        cfg, fake_validate_many, lambda m: f"TABLE({sorted(m)})"
+    )
+    assert calls == [["c3s2"], ["c3s2 rand"]]
+    assert len(blocks) == 2
+    assert blocks[1].splitlines()[-1] == "sim_chorus3 seed-2 replication"
+    lstm_cfg, rand_cfg = cfgs[0][1], cfgs[1][1]
+    for c in (lstm_cfg, rand_cfg):
+        da = c["data"]["init_args"]
+        assert da["dry_val_dir"] == "data/sim_chorus3/val/dry"
+        assert da["wet_val_dir"] == "data/sim_chorus3/val/wet"
+    assert lstm_cfg["ckpt_path"].endswith(
+        "lstm_64__lfo_2dcnn_r6__sim_chorus3_s2.npz"
+    )
+    assert rand_cfg["ckpt_path"].endswith("rand_baseline__sim_chorus3_s2.npz")
+    assert "RandomLFO" in str(rand_cfg["model"]["init_args"]["lfo_model"])
+    assert rand_cfg["model"]["init_args"]["model_smooth_n_frames"] == 0
