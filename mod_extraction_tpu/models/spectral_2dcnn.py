@@ -63,8 +63,9 @@ class _TrunkConv(nn.Module):
     temp_dil: int
     dtype: jnp.dtype
     impl: str = "lax"
-    # Backward weight-gradient path: "xla" (autodiff) or "pallas" (the
-    # tap-concat MXU kernel, ops/pallas_conv.py) where supported.
+    # Backward weight-gradient path: "xla" (autodiff), "pallas" (the
+    # tap-concat MXU kernel, ops/pallas_conv.py), or "s2b" (the
+    # space-to-batch dense framing, ops/conv.py) where supported.
     wgrad_impl: str = "xla"
     # Materialize the incoming cotangent once in the backward (custom
     # VJP + optimization_barrier + fused f32 dbias) instead of letting
@@ -89,17 +90,24 @@ class _TrunkConv(nn.Module):
         wgrad_ok = self.wgrad_impl == "pallas" and wgrad_supported(
             kernel.shape, self.bin_dil, x.shape[-1]
         )
+        # the s2b framing only reshapes/strides — any bin_dil-1 layer
+        # (including L0's ci=2) is covered
+        s2b_ok = self.wgrad_impl == "s2b" and self.bin_dil == 1
         if self.impl == "freq_folded" and foldable(
             kernel.shape, self.bin_dil, x.shape[1]
         ):
             y = conv2d_freq_folded(x, k, self.bin_dil, self.temp_dil,
                                    preferred=None)
-        elif (pair_ok or wgrad_ok or self.grad_barrier) and self.bin_dil == 1:
+        elif (
+            pair_ok or wgrad_ok or s2b_ok or self.grad_barrier
+        ) and self.bin_dil == 1:
             conv = make_conv2d_custom(
                 self.temp_dil,
                 fwd_impl="pair" if pair_ok else "lax",
                 dgrad_impl="pair" if pair_ok else "lax",
-                wgrad_impl="pallas" if wgrad_ok else "xla",
+                wgrad_impl=(
+                    "pallas" if wgrad_ok else ("s2b" if s2b_ok else "xla")
+                ),
                 with_bias=True,
                 barrier=self.grad_barrier,
             )

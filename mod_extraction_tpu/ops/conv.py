@@ -106,6 +106,78 @@ def foldable(w_shape, bin_dil: int, f: int) -> bool:
     return w_shape[0] == 5 and bin_dil == 1 and f % 2 == 0
 
 
+def conv2d_wgrad_convform(x, dy, kf: int, kt: int, dil: int):
+    """Weight gradient of `conv2d_same(x, w, 1, dil)` expressed manually
+    as ONE strided conv (round-5 throughput work, probe_wgrad_xla.py
+    formulation B):
+
+        dW[a, j, ci, co] = sum_{b,f,t} xp[b, f+a, t+j*dil, ci]
+                                       * dy[b, f, t, co]
+
+    with lhs batch dim <- ci, contraction feature <- b, output spatial
+    <- (a, j) at lhs stride (1, dil).  Bit-identical contraction to
+    XLA's own backprop-filter framing; exists so the `s2b` path below
+    has a dense stride-1 core to call and as an A/B control."""
+    xp = jnp.pad(
+        x, ((0, 0), same_pads_1d(kf, 1), same_pads_1d(kt, dil), (0, 0))
+    )
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(3, 0, 1, 2),  # batch<-ci, feature<-b, spatial (f, t)
+        rhs_spec=(3, 0, 1, 2),  # out-feat<-co, in-feat<-b, spatial (f, t)
+        out_spec=(0, 3, 1, 2),  # (ci, a, j, co)
+    )
+    dw = jax.lax.conv_general_dilated(
+        xp,
+        dy,
+        window_strides=(1, dil),
+        padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.transpose(dw, (1, 2, 0, 3))
+
+
+def conv2d_wgrad_s2b(x, dy, kf: int, kt: int, dil: int):
+    """`conv2d_wgrad_convform` with the time dilation folded into the
+    batch dim (space-to-batch): t = u*dil + r maps (B, r) -> batch
+    B*dil, turning the stride-`dil` filter-gradient contraction into a
+    DENSE stride-1 one over time length ~T/dil.  Same contraction up to
+    f32 accumulation order; selectable as `wgrad_impl="s2b"` on the
+    trunk convs."""
+    if dil == 1:
+        return conv2d_wgrad_convform(x, dy, kf, kt, 1)
+    b, f, t, ci = x.shape
+    tp = -(-t // dil) * dil  # pad T up to a dilation multiple
+    pt = same_pads_1d(kt, dil)
+    xp = jnp.pad(
+        x, ((0, 0), same_pads_1d(kf, 1), (pt[0], pt[1] + tp - t), (0, 0))
+    )
+    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+    u_x = tp // dil + (kt - 1)
+    u_y = tp // dil
+
+    def to_phases(a, u):
+        bb, ff, _, cc = a.shape
+        a = a.reshape(bb, ff, u, dil, cc)
+        a = jnp.transpose(a, (0, 3, 1, 2, 4))
+        return a.reshape(bb * dil, ff, u, cc)
+
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(3, 0, 1, 2),
+        rhs_spec=(3, 0, 1, 2),
+        out_spec=(0, 3, 1, 2),
+    )
+    dw = jax.lax.conv_general_dilated(
+        to_phases(xp, u_x),
+        to_phases(dyp, u_y),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.transpose(dw, (1, 2, 0, 3))
+
+
 def pair_weights(w: jnp.ndarray) -> jnp.ndarray:
     """(5, kt, C, Co) -> (6, kt, C, 2Co) for the row-pair strided conv.
 

@@ -274,6 +274,12 @@ def make_conv2d_custom(
                 x, g, kf=w.shape[0], kt=w.shape[1], dil=dil,
                 interpret=interpret,
             )
+        elif wgrad_impl == "s2b":
+            # space-to-batch framing (ops/conv.py): dense stride-1
+            # filter-grad contraction over batch B*dil
+            from mod_extraction_tpu.ops.conv import conv2d_wgrad_s2b
+
+            dw = conv2d_wgrad_s2b(x, g, w.shape[0], w.shape[1], dil)
         else:
             # XLA's own wgrad framing of the plain conv (the pair conv's
             # autodiff wgrad would target the padded (6, kt, C, 2Co)

@@ -41,7 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mod_extraction_tpu.ops.conv import conv2d_same, same_pads_1d
+from mod_extraction_tpu.ops.conv import (
+    conv2d_same,
+    conv2d_wgrad_convform,
+    conv2d_wgrad_s2b,
+    same_pads_1d,
+)
 
 B = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 128
 T = 345
@@ -64,70 +69,14 @@ def wgrad_vjp(x, dy, dil, co):
     return vjp(dy)[0]
 
 
-def _pad_for_wgrad(x, dil):
-    pf = same_pads_1d(KF, 1)
-    pt = same_pads_1d(KT, dil)
-    return jnp.pad(x, ((0, 0), pf, pt, (0, 0)))
-
-
 def wgrad_convform(x, dy, dil, co=None):
-    """Formulation B: dW[a,j,ci,co] = sum_{b,f,t} xp[b,f+a,t+j*dil,ci]
-    * dy[b,f,t,co] as one strided conv: lhs batch dim <- ci, contraction
-    feature <- b, output spatial <- (a, j) with lhs stride (1, dil)."""
-    xp = _pad_for_wgrad(x, dil)
-    dn = jax.lax.ConvDimensionNumbers(
-        lhs_spec=(3, 0, 1, 2),  # batch<-ci, feature<-b, spatial (f, t)
-        rhs_spec=(3, 0, 1, 2),  # out-feat<-co, in-feat<-b, spatial (f, t)
-        out_spec=(0, 3, 1, 2),  # (ci, a, j, co)
-    )
-    dw = jax.lax.conv_general_dilated(
-        xp,
-        dy,
-        window_strides=(1, dil),
-        padding="VALID",
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.transpose(dw, (1, 2, 0, 3))
+    """Formulation B — see ops/conv.py::conv2d_wgrad_convform."""
+    return conv2d_wgrad_convform(x, dy, KF, KT, dil)
 
 
 def wgrad_s2b(x, dy, dil, co=None):
-    """Formulation C: space-to-batch on time, then a DENSE convform
-    wgrad at stride 1 over batch B*dil."""
-    if dil == 1:
-        return wgrad_convform(x, dy, 1)
-    b, f, t, ci = x.shape
-    co_ = dy.shape[-1]
-    tp = -(-t // dil) * dil  # pad T up to a dilation multiple
-    xp = _pad_for_wgrad(
-        jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0))), dil
-    )  # (B, F+4, tp + 12*dil, ci)
-    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
-    u_x = tp // dil + 12
-    u_y = tp // dil
-
-    def to_phases(a, u):
-        bb, ff, _, cc = a.shape
-        a = a.reshape(bb, ff, u, dil, cc)
-        a = jnp.transpose(a, (0, 3, 1, 2, 4))
-        return a.reshape(bb * dil, ff, u, cc)
-
-    xs = to_phases(xp, u_x)
-    dys = to_phases(dyp, u_y)
-    dn = jax.lax.ConvDimensionNumbers(
-        lhs_spec=(3, 0, 1, 2),
-        rhs_spec=(3, 0, 1, 2),
-        out_spec=(0, 3, 1, 2),
-    )
-    dw = jax.lax.conv_general_dilated(
-        xs,
-        dys,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.transpose(dw, (1, 2, 0, 3))
+    """Formulation C — see ops/conv.py::conv2d_wgrad_s2b."""
+    return conv2d_wgrad_s2b(x, dy, KF, KT, dil)
 
 
 def check():

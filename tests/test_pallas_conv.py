@@ -110,3 +110,59 @@ def test_custom_vjp_conv_grads_match():
     np.testing.assert_allclose(
         np.asarray(dw) / scale, np.asarray(dw_r) / scale, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("dil", [1, 2, 4, 8, 16])
+def test_wgrad_s2b_matches_xla(dil):
+    """The space-to-batch wgrad framing (ops/conv.py) equals the XLA
+    autodiff wgrad up to f32 accumulation order, at every trunk
+    dilation (round-5 throughput work)."""
+    from mod_extraction_tpu.ops.conv import (
+        conv2d_wgrad_convform,
+        conv2d_wgrad_s2b,
+    )
+
+    b, f, t, ci, co = 2, 8, 57, 5, 7  # T deliberately not a dil multiple
+    x = _rand((b, f, t, ci), 10 + dil)
+    dy = _rand((b, f, t, co), 20 + dil)
+    ref = conv2d_wgrad_reference(x, dy, dil=dil)
+    for fn in (conv2d_wgrad_convform, conv2d_wgrad_s2b):
+        got = fn(x, dy, 5, 13, dil)
+        assert got.shape == (5, 13, ci, co)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(ref) / scale, atol=1e-5
+        )
+
+
+def test_custom_vjp_s2b_grads_match():
+    """make_conv2d_custom(wgrad_impl='s2b') + bias: fwd/dx/db identical
+    to autodiff, dw from the s2b framing."""
+    from mod_extraction_tpu.ops.conv import conv2d_same
+    from mod_extraction_tpu.ops.pallas_conv import make_conv2d_custom
+
+    b, f, t, ci, co, dil = 2, 8, 48, 8, 8, 4
+    x = _rand((b, f, t, ci), 7)
+    w = _rand((5, 13, ci, co), 8) * 0.1
+    bias = _rand((co,), 9) * 0.1
+    g = _rand((b, f, t, co), 11)
+
+    conv = make_conv2d_custom(dil, wgrad_impl="s2b", with_bias=True)
+
+    def loss(fn, x, w, bias):
+        return jnp.sum(fn(x, w, bias) * g)
+
+    def ref_fn(a, ww, bb):
+        return conv2d_same(a, ww, 1, dil, preferred=None) + bb
+
+    y = conv(x, w, bias)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref_fn(x, w, bias)), atol=1e-5
+    )
+    grads = jax.grad(lambda *a: loss(conv, *a), argnums=(0, 1, 2))(x, w, bias)
+    refs = jax.grad(lambda *a: loss(ref_fn, *a), argnums=(0, 1, 2))(x, w, bias)
+    for got_g, ref_g in zip(grads, refs):
+        scale = float(jnp.max(jnp.abs(ref_g))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(got_g) / scale, np.asarray(ref_g) / scale, atol=1e-5
+        )
