@@ -219,6 +219,36 @@ def gate_conv_wgrad(rng):
     )
 
 
+def gate_conv_wgrad_s2b(rng):
+    """Round-5 space-to-batch wgrad framing (ops/conv.py, pure XLA):
+    on-chip f32 parity vs the autodiff framing at trunk-like shapes.
+    Tighter tolerance than the Pallas rows — both sides contract in
+    f32 here, only accumulation order differs."""
+    from mod_extraction_tpu.ops.conv import conv2d_wgrad_s2b
+    from mod_extraction_tpu.ops.pallas_conv import conv2d_wgrad_reference
+
+    shapes = [(4, 16, 96, 2), (2, 8, 128, 16)] if QUICK else [
+        (32, 64, 345, 2),
+        (32, 8, 345, 16),
+    ]
+    for b, f, t, dil in shapes:
+        x = jnp.asarray(
+            (0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32)
+        )
+        dy = jnp.asarray(
+            (0.3 * rng.standard_normal((b, f, t, 64))).astype(np.float32)
+        )
+        ref = conv2d_wgrad_reference(x, dy, dil=dil)
+        got = conv2d_wgrad_s2b(x, dy, 5, 13, dil)
+        scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-6
+        check(
+            f"conv wgrad s2b (dil={dil})",
+            np.asarray(got) / scale,
+            np.asarray(ref) / scale,
+            atol=1e-4,
+        )
+
+
 def gate_conv_pair(rng):
     """Row-pair conv path (VERDICT r3 missing #4): `conv2d_pair_rows`
     fwd vs `conv2d_same` in bf16 at trunk shapes, plus the composed
@@ -315,6 +345,7 @@ def main():
     gate_lstm_fwd(rng)
     gate_lstm_train(rng)
     gate_conv_wgrad(rng)
+    gate_conv_wgrad_s2b(rng)
     gate_conv_pair(rng)
     print(f"gate finished in {time.time() - t0:.0f}s: "
           + ("FAIL " + ", ".join(FAILURES) if FAILURES else "ALL PASS"))
