@@ -58,10 +58,12 @@ def main():
                 flush=True,
             )
 
-        def g_vjp(i, x=x, dy=dy, dil=dil, co=co):
-            return jnp.sum(wgrad_vjp(x + i * jnp.bfloat16(1e-6), dy, dil, co)) * 1e-9
+        def g_vjp(i, xx, dd, dil=dil, co=co):
+            return jnp.sum(
+                wgrad_vjp(xx + i * jnp.bfloat16(1e-6), dd, dil, co)
+            ) * 1e-9
 
-        report("xla vjp", time_scalar_fn(g_vjp))
+        report("xla vjp", time_scalar_fn(g_vjp, x, dy))
         for chunk_f in (8, 32, f):
             for tile_t in (32, 64, 128):
                 # rough VMEM bound: a_mat + b_mat + dyw halo copies (bf16)
@@ -76,15 +78,15 @@ def main():
                 if est > 56 * 1024 * 1024:
                     continue
 
-                def g_tap(i, x=x, dy=dy, dil=dil, cf=chunk_f, tt=tile_t):
+                def g_tap(i, xx, dd, dil=dil, cf=chunk_f, tt=tile_t):
                     dw = conv2d_wgrad_tapcat(
-                        x + i * jnp.bfloat16(1e-6), dy, KF, KT, dil,
+                        xx + i * jnp.bfloat16(1e-6), dd, KF, KT, dil,
                         tile_t=tt, chunk_f=cf,
                     )
                     return jnp.sum(dw) * 1e-9
 
                 try:
-                    sec = time_scalar_fn(g_tap)
+                    sec = time_scalar_fn(g_tap, x, dy)
                 except Exception as e:
                     print(
                         f"ci={ci:3d} f={f:3d} dil={dil:2d} "

@@ -63,10 +63,12 @@ LAYERS = [
 
 
 def wgrad_vjp(x, dy, dil, co):
-    """Formulation A: XLA's own backprop-filter."""
+    """Formulation A: XLA's own backprop-filter (preferred=None matches
+    the trunk's bf16 training path, so a bf16 cotangent feeds the vjp
+    exactly as in the real step)."""
     w0 = jnp.zeros((KF, KT, x.shape[-1], co), x.dtype)
-    _, vjp = jax.vjp(lambda w: conv2d_same(x, w, 1, dil), w0)
-    return vjp(dy)[0]
+    _, vjp = jax.vjp(lambda w: conv2d_same(x, w, 1, dil, preferred=None), w0)
+    return vjp(dy.astype(x.dtype))[0]
 
 
 def wgrad_convform(x, dy, dil, co=None):
@@ -95,21 +97,26 @@ def check():
             print(f"[{status}] dil={dil:2d} {name:9s} max|d|={err:.2e}")
 
 
-def time_scalar_fn(fn, n_lo=2, n_hi=10):
+def time_scalar_fn(fn, *operands, n_lo=2, n_hi=10):
+    """Scalar-fence timing (verify-skill pattern).  `operands` are
+    passed through jit as ARGUMENTS — closing over large device arrays
+    would embed them as literal constants in the remote-compile payload
+    (observed: HTTP 413 on the axon compile endpoint at trunk shapes)."""
+
     @partial(jax.jit, static_argnums=0)
-    def run(n):
+    def run(n, *ops):
         def body(acc, i):
-            return acc + fn(i), None
+            return acc + fn(i, *ops), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return acc
 
-    float(run(n_lo))
-    float(run(n_hi))
+    float(run(n_lo, *operands))
+    float(run(n_hi, *operands))
     t0 = time.perf_counter()
-    float(run(n_lo))
+    float(run(n_lo, *operands))
     t1 = time.perf_counter()
-    float(run(n_hi))
+    float(run(n_hi, *operands))
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
 
@@ -119,8 +126,19 @@ def main():
     print(f"device: {dev.platform}:{dev.device_kind}  batch={B}", flush=True)
     key = jax.random.PRNGKey(1)
     forms = [("vjp", None), ("convform", wgrad_convform), ("s2b", wgrad_s2b)]
+    # remote compiles dominate this probe's wall time (~2 per cell), so
+    # allow narrowing: --forms vjp,s2b --layers 1,2,5
+    if "--forms" in sys.argv:
+        keep = sys.argv[sys.argv.index("--forms") + 1].split(",")
+        forms = [fm for fm in forms if fm[0] in keep]
+    layer_ids = list(range(len(LAYERS)))
+    if "--layers" in sys.argv:
+        layer_ids = [
+            int(s) for s in sys.argv[sys.argv.index("--layers") + 1].split(",")
+        ]
     totals = {name: 0.0 for name, _ in forms}
-    for li, (ci, co, f, dil) in enumerate(LAYERS):
+    for li in layer_ids:
+        ci, co, f, dil = LAYERS[li]
         kx, kd = jax.random.split(jax.random.fold_in(key, li))
         x = jax.jit(
             lambda k: jax.random.normal(k, (B, f, T, ci), jnp.bfloat16) * 0.1
@@ -131,14 +149,14 @@ def main():
         flops = 2.0 * B * f * T * KF * KT * ci * co
         for name, fn in forms:
             if fn is None:
-                def g(i, x=x, dy=dy, dil=dil, co=co):
-                    dw = wgrad_vjp(x + i * jnp.bfloat16(1e-6), dy, dil, co)
+                def g(i, xx, dd, dil=dil, co=co):
+                    dw = wgrad_vjp(xx + i * jnp.bfloat16(1e-6), dd, dil, co)
                     return jnp.sum(dw) * 1e-9
             else:
-                def g(i, x=x, dy=dy, dil=dil, fn=fn):
-                    dw = fn(x + i * jnp.bfloat16(1e-6), dy, dil)
+                def g(i, xx, dd, dil=dil, fn=fn):
+                    dw = fn(xx + i * jnp.bfloat16(1e-6), dd, dil)
                     return jnp.sum(dw) * 1e-9
-            sec = time_scalar_fn(g)
+            sec = time_scalar_fn(g, x, dy)
             totals[name] += sec
             print(
                 f"L{li} ci={ci:3d} f={f:3d} dil={dil:2d} {name:9s} "
