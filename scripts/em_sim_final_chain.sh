@@ -17,7 +17,7 @@ fi
 
 # train-then-export per effect, budgets read from the generated
 # configs, so an interruption leaves every completed run exported
-for effect in flanger phaser chorus flanger2; do
+for effect in flanger phaser chorus flanger2 chorus2 chorus3 chorus4; do
   cfg="configs/train_em_sim_${effect}_${RN}.yml"
   total=$(grep -o 'max_epochs: [0-9]*' "$cfg" | head -1 | grep -o '[0-9]*')
   bash scripts/train_resumable.sh "$cfg" "$total" "$total"

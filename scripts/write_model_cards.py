@@ -268,8 +268,12 @@ REGISTRY["lstm_64__gt_mod_sig__sim_chorus_gt"] = dict(
         "chorus no-win; archived in eval_em_sim.txt 'gt control' block."
     ),
 )
-for _rn in ("r5", "r6"):
-    for _effect in ("flanger", "phaser", "chorus", "flanger2"):
+for _rn in ("r5", "r6", "r7"):
+    # r7 (round 5) extends the migration to the chorus-family corpora
+    _effects = ("flanger", "phaser", "chorus", "flanger2") + (
+        ("chorus2", "chorus3", "chorus4") if _rn == "r7" else ()
+    )
+    for _effect in _effects:
         REGISTRY[f"lstm_64__lfo_2dcnn_{_rn}__sim_{_effect}"] = dict(
             kind="trained",
             train_config=f"configs/train_em_sim_{_effect}_{_rn}.yml",

@@ -37,7 +37,8 @@ def test_generated_migration_configs_build(generated_configs, tmp_path):
     from mod_extraction_tpu.models import Spectral2DCNN
     from mod_extraction_tpu.train.checkpoints import save_weights
 
-    assert len(generated_configs) == 4  # flanger, phaser, chorus, flanger2
+    # flanger, phaser, chorus, flanger2 + the round-5 chorus family
+    assert len(generated_configs) == 7
 
     model = Spectral2DCNN(
         in_ch=2, n_samples=88200, sr=44100, n_fft=1024, hop_len=256,
@@ -67,4 +68,5 @@ def test_generated_migration_configs_build(generated_configs, tmp_path):
         assert f"data/{effect}/" in cfg["data"]["init_args"]["dry_train_dir"]
     assert seen_effects == {
         "sim_flanger", "sim_phaser", "sim_chorus", "sim_flanger2",
+        "sim_chorus2", "sim_chorus3", "sim_chorus4",
     }
