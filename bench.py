@@ -377,14 +377,19 @@ def main():
     # future kernels can be A/B'd the same way.
     conv_impl = _arg("--conv-impl", "BENCH_CONV_IMPL", "lax")
     wgrad_impl = _arg("--wgrad-impl", "BENCH_WGRAD_IMPL", "xla")
-    # Training-path mixed-precision defaults (round-4 stint 2, measured
-    # +5% end-to-end; ROUND_NOTES table): bf16-input DFT matmuls and a
-    # bf16 LN/PReLU activation stream — the same tier of decision as the
-    # round-1 bf16 conv trunk.  Eval surfaces keep the f32 frontend/LN
-    # (model defaults unchanged); shipped-r6 forward drift of these
-    # knobs: eval_lfo val/l1 0.011045 vs 0.010751 archived (+2.7% rel).
-    stft_impl = _arg("--stft-impl", "BENCH_STFT_IMPL", "dft_bf16")
-    act_io_dtype = _arg("--act-io", "BENCH_ACT_IO", "compute")
+    # Mixed-precision knobs REVERTED to the validated f32 path (round 5,
+    # VERDICT r4 next #3): the round-4 +5% knobs (dft_bf16 +
+    # act_io=compute) were training-validated with a full r6-recipe run
+    # (train_lfo_interwoven_all_live_r6b16.yml, same seed/warm
+    # start/schedule) and the converged model lands at eval_lfo val/l1
+    # 0.010945 vs the f32-trained 0.010751 (+1.8% relative; monitored
+    # best val/loss 0.025880 vs 0.025450).  Per the decision rule, the
+    # knobs are NOT training-clean, so the headline measures the config
+    # a real training would use.  The knobs remain opt-in flags for A/B.
+    # Batch 256 is not a numerics knob and stays (b512 does not compile
+    # on v5e — HBM).
+    stft_impl = _arg("--stft-impl", "BENCH_STFT_IMPL", "auto")
+    act_io_dtype = _arg("--act-io", "BENCH_ACT_IO", "float32")
     batch_size = int(_arg("--batch", "BENCH_BATCH", "256"))
     ours = bench_ours(
         batch_size=batch_size,
