@@ -461,6 +461,19 @@ REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6b16"] = dic
     ),
 )
 
+REGISTRY["lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6b16d"] = dict(
+    kind="trained",
+    train_config="configs/train_lfo_interwoven_all_live_r6b16d.yml",
+    metrics_run="lfo_2dcnn_io_sa_25_25_no_ch_ln__interwoven_idmt_all_live_r6b16d",
+    corpus="data/idmt_4 (live interwoven render)",
+    notes=(
+        "Knob-ABLATION twin of the r6 extractor (dft_bf16 frontend "
+        "only, activation stream f32): attributes the bundled +1.8% "
+        "converged-quality cost between the two bf16 knobs (+0.9% "
+        "each; ROUND_NOTES round 5)."
+    ),
+)
+
 # imported reference weights: stem -> reference .pt filename
 REFERENCE_IMPORTS = {
     "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak": "lstm_64__lfo_2dcnn_io_sa_25_25_no_ch_ln__egfx_ch_2_peak__epoch_40_step_108896.pt",
